@@ -1,0 +1,164 @@
+"""Chunked SSD / linear-attention / softmax-attention kernels vs oracles.
+
+Each chunked/parallel kernel is checked against its sequential recurrence
+oracle; the oracles themselves mirror the reference's naive formulations
+(ref models/attention.py:12-35, 58-83; mamba_chunk_scan_combined semantics
+at models/mamba.py:118-150).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tlie_tpu.ops.attention import causal_softmax_attention
+from tlie_tpu.ops.conv import depthwise_causal_conv1d
+from tlie_tpu.ops.fft_conv import causal_fft_conv, cauchy_dot
+from tlie_tpu.ops.linear_attention import (
+    chunked_linear_attention,
+    cumulative_key_normalizer,
+    recurrent_linear_attention,
+)
+from tlie_tpu.ops.ssd import ssd_chunked_scan, ssd_recurrent_scan
+
+
+@pytest.mark.parametrize("G", [1, 2])
+def test_ssd_chunked_matches_recurrent(G):
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 6)
+    B, L, H, P, N = 2, 96, 4, 8, 16
+    x = jax.random.normal(ks[0], (B, L, H, P))
+    dt = jax.nn.softplus(jax.random.normal(ks[1], (B, L, H)))
+    A = -jnp.exp(jax.random.normal(ks[2], (H,)))
+    Bm = jax.random.normal(ks[3], (B, L, G, N))
+    Cm = jax.random.normal(ks[4], (B, L, G, N))
+    D = jax.random.normal(ks[5], (H,))
+    with jax.default_matmul_precision("highest"):
+        y_ref = ssd_recurrent_scan(x, dt, A, Bm, Cm, D)
+        y = ssd_chunked_scan(x, dt, A, Bm, Cm, chunk_size=32, D=D)
+    np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=1e-3)
+
+
+def test_ssd_initial_state_and_final_state():
+    key = jax.random.PRNGKey(1)
+    ks = jax.random.split(key, 6)
+    B, L, H, P, N = 1, 64, 2, 4, 8
+    x = jax.random.normal(ks[0], (B, L, H, P))
+    dt = jax.nn.softplus(jax.random.normal(ks[1], (B, L, H)))
+    A = -jnp.exp(jax.random.normal(ks[2], (H,)))
+    Bm = jax.random.normal(ks[3], (B, L, 1, N))
+    Cm = jax.random.normal(ks[4], (B, L, 1, N))
+    h0 = jax.random.normal(ks[5], (B, H, P, N))
+    with jax.default_matmul_precision("highest"):
+        y_ref = ssd_recurrent_scan(x, dt, A, Bm, Cm, initial_states=h0)
+        y, hT = ssd_chunked_scan(
+            x, dt, A, Bm, Cm, chunk_size=16, initial_states=h0,
+            return_final_state=True,
+        )
+        # continuing from hT must equal one long scan
+        y2_ref = ssd_recurrent_scan(x, dt, A, Bm, Cm, initial_states=hT)
+        y2, _ = ssd_chunked_scan(
+            x, dt, A, Bm, Cm, chunk_size=16, initial_states=hT,
+            return_final_state=True,
+        )
+    np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(y2, y2_ref, rtol=1e-4, atol=1e-3)
+
+
+def test_linear_attention_chunked_matches_recurrent():
+    key = jax.random.PRNGKey(2)
+    ks = jax.random.split(key, 3)
+    B, L, H, Dk, Dv = 2, 64, 2, 16, 8
+    q = jax.nn.elu(jax.random.normal(ks[0], (B, L, H, Dk))) + 1
+    k = jax.nn.elu(jax.random.normal(ks[1], (B, L, H, Dk))) + 1
+    v = jax.random.normal(ks[2], (B, L, H, Dv))
+    with jax.default_matmul_precision("highest"):
+        o_ref = recurrent_linear_attention(q, k, v, scale=0.25)
+        o = chunked_linear_attention(q, k, v, scale=0.25, chunk=16)
+    np.testing.assert_allclose(o, o_ref, rtol=1e-4, atol=1e-3)
+
+
+def test_linear_attention_matches_quadratic_form():
+    """Chunked kernel vs explicit masked q·kᵀ v formulation."""
+    key = jax.random.PRNGKey(3)
+    ks = jax.random.split(key, 3)
+    B, L, H, D = 1, 32, 1, 4
+    q = jax.random.uniform(ks[0], (B, L, H, D))
+    k = jax.random.uniform(ks[1], (B, L, H, D))
+    v = jax.random.normal(ks[2], (B, L, H, D))
+    scores = jnp.einsum("bthd,bshd->bhts", q, k)
+    mask = jnp.tril(jnp.ones((L, L), bool))
+    scores = jnp.where(mask[None, None], scores, 0.0)
+    o_ref = jnp.einsum("bhts,bshd->bthd", scores, v)
+    with jax.default_matmul_precision("highest"):
+        o = chunked_linear_attention(q, k, v, scale=1.0, chunk=8)
+    np.testing.assert_allclose(o, o_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_cumulative_key_normalizer():
+    key = jax.random.PRNGKey(4)
+    q = jax.random.uniform(key, (1, 16, 2, 4)) + 0.5
+    k = jax.random.uniform(jax.random.fold_in(key, 1), (1, 16, 2, 4)) + 0.5
+    n = cumulative_key_normalizer(q, k)
+    n_ref = jnp.einsum("blhd,blhd->blh", q, jnp.cumsum(k, axis=1))
+    np.testing.assert_allclose(n, n_ref, rtol=1e-5, atol=1e-5)
+
+
+def test_softmax_attention_matches_reference_math():
+    """XLA path vs explicit additive-mask softmax (ref models/attention.py:12-35)."""
+    key = jax.random.PRNGKey(5)
+    ks = jax.random.split(key, 3)
+    B, L, H, D = 2, 48, 2, 8
+    q = jax.random.normal(ks[0], (B, L, H, D))
+    k = jax.random.normal(ks[1], (B, L, H, D))
+    v = jax.random.normal(ks[2], (B, L, H, D))
+    scale = 1.0 / np.sqrt(D)
+    scores = jnp.einsum("bthd,bshd->bhts", q, k * scale)
+    mask = jnp.triu(jnp.full((L, L), -10000.0), 1)
+    probs = jax.nn.softmax(scores + mask[None, None], axis=-1)
+    o_ref = jnp.einsum("bhts,bshd->bthd", probs, v)
+    with jax.default_matmul_precision("highest"):
+        o = causal_softmax_attention(q, k, v, impl="xla")
+    np.testing.assert_allclose(o, o_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_depthwise_causal_conv_matches_direct():
+    key = jax.random.PRNGKey(6)
+    B, L, C, K = 2, 20, 6, 4
+    x = jax.random.normal(key, (B, L, C))
+    w = jax.random.normal(jax.random.fold_in(key, 1), (K, C))
+    bias = jax.random.normal(jax.random.fold_in(key, 2), (C,))
+    y = depthwise_causal_conv1d(x, w, bias)
+    # direct per-timestep sum
+    xp = jnp.pad(x, ((0, 0), (K - 1, 0), (0, 0)))
+    y_ref = sum(w[k] * xp[:, k : k + L] for k in range(K)) + bias
+    np.testing.assert_allclose(y, y_ref, rtol=1e-5, atol=1e-5)
+    # torch Conv1d parity: torch weight (C, 1, K) corresponds to w[k, c]
+    torch = pytest.importorskip("torch")
+    conv = torch.nn.Conv1d(C, C, K, groups=C, padding=K - 1, bias=True)
+    with torch.no_grad():
+        conv.weight.copy_(torch.tensor(np.asarray(w).T[:, None, :]))
+        conv.bias.copy_(torch.tensor(np.asarray(bias)))
+        y_t = conv(torch.tensor(np.asarray(x)).transpose(1, 2))[..., :L].transpose(1, 2)
+    np.testing.assert_allclose(y, y_t.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_causal_fft_conv_matches_direct():
+    key = jax.random.PRNGKey(7)
+    L = 33
+    u = jax.random.normal(key, (L,))
+    K = jax.random.normal(jax.random.fold_in(key, 1), (L,))
+    y = causal_fft_conv(u, K)
+    y_ref = np.convolve(np.asarray(u), np.asarray(K))[:L]
+    np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_cauchy_dot_matches_numpy():
+    rng = np.random.RandomState(0)
+    N, L = 8, 16
+    v = rng.randn(N) + 1j * rng.randn(N)
+    lam = rng.randn(N) - 1.0 + 1j * rng.randn(N)
+    omega = np.exp(2j * np.pi * np.arange(L) / L)
+    ref = np.array([(v / (w - lam)).sum() for w in omega])
+    out = cauchy_dot(jnp.asarray(v), jnp.asarray(omega), jnp.asarray(lam))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)

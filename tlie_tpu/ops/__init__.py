@@ -1,0 +1,18 @@
+from .scan import diag_linear_scan
+from .conv import depthwise_causal_conv1d
+from .linear_attention import (
+    chunked_linear_attention,
+    recurrent_linear_attention,
+)
+from .ssd import ssd_chunked_scan, ssd_recurrent_scan
+from .attention import causal_softmax_attention
+
+__all__ = [
+    "diag_linear_scan",
+    "depthwise_causal_conv1d",
+    "chunked_linear_attention",
+    "recurrent_linear_attention",
+    "ssd_chunked_scan",
+    "ssd_recurrent_scan",
+    "causal_softmax_attention",
+]

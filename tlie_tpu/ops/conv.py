@@ -1,0 +1,69 @@
+"""Depthwise causal 1-D convolution (the Mamba / attention "conv branch").
+
+Fills the role of the reference's cuDNN ``nn.Conv1d(groups=C, padding=K-1)``
+sliced back to length L (ref models/mamba.py:98-105,130-133;
+models/attention.py:140-147; models/norm_attention.py:221-228) and of the
+``causal_conv1d`` CUDA library.
+
+On TPU a short depthwise conv is purely bandwidth-bound; for the small
+kernel widths used here (K = 4) an unrolled shift-multiply-add lowers to a
+handful of fused VPU ops, which XLA folds into neighbouring elementwise work
+— no im2col, no conv layout shuffles.  A general ``lax.conv_general_dilated``
+path covers larger K.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_UNROLL_MAX = 8
+
+
+def depthwise_causal_conv1d(
+    x: jax.Array,
+    weight: jax.Array,
+    bias: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Causal depthwise conv.
+
+    Args:
+      x: (..., L, C) input sequence.
+      weight: (K, C) per-channel filter taps, tap K-1 multiplying the current
+        timestep (torch Conv1d weight layout transposed: torch's
+        ``weight[c, 0, k]`` equals ``weight[k, c]`` here).
+      bias: optional (C,).
+
+    Returns:
+      (..., L, C) with y[t] = sum_k weight[k] * x[t - (K-1) + k] (+ bias).
+    """
+    K = weight.shape[0]
+    if K <= _UNROLL_MAX:
+        y = x * weight[K - 1]
+        for k in range(K - 1):
+            shift = K - 1 - k
+            shifted = jnp.pad(
+                x[..., :-shift, :],
+                [(0, 0)] * (x.ndim - 2) + [(shift, 0), (0, 0)],
+            )
+            y = y + shifted * weight[k]
+    else:
+        lead = x.shape[:-2]
+        L, C = x.shape[-2:]
+        xr = x.reshape((-1, L, C))
+        kernel = weight[:, None, :]  # (K, 1, C) in 'LIO' depthwise layout
+        y = lax.conv_general_dilated(
+            xr,
+            kernel.astype(x.dtype),
+            window_strides=(1,),
+            padding=[(K - 1, 0)],
+            dimension_numbers=("NLC", "LIO", "NLC"),
+            feature_group_count=C,
+        )
+        y = y.reshape(lead + (L, C))
+    if bias is not None:
+        y = y + bias
+    return y

@@ -1,0 +1,104 @@
+"""Causal linear attention: cumulative KV-state update, chunked for the MXU.
+
+TPU-native replacement for the ``fla.ops.simple_gla`` Triton kernels the
+reference calls with ``g=None`` — i.e. an undecayed running KV state
+(ref models/norm_attention.py:144-148) — and for the naive cumsum
+formulation (ref models/attention.py:58-83).
+
+The chunked form turns the O(L) recurrence into per-chunk matmuls:
+  * intra-chunk: a (Q×Q)-masked attention matmul,
+  * inter-chunk: each chunk's KV outer-product summary, prefix-summed, then
+    contracted with the queries.
+Everything is batched matmul → MXU; the only sequential structure is the
+cheap prefix sum over L/Q chunk summaries.
+
+Conventions: q, k are (B, L, H, Dk); v is (B, L, H, Dv); outputs (B, L, H, Dv).
+The current timestep is included in the state (inclusive scan), matching both
+reference paths.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_DEFAULT_CHUNK = 128
+
+
+def recurrent_linear_attention(
+    q: jax.Array, k: jax.Array, v: jax.Array, scale: float = 1.0
+) -> jax.Array:
+    """Sequential oracle / decode path: S_t = S_{t-1} + scale·k_t v_tᵀ,
+    o_t = S_tᵀ q_t.  Counterpart of ``fused_recurrent_simple_gla``."""
+    k = k * scale
+
+    def step(S, qkv_t):
+        q_t, k_t, v_t = qkv_t  # (B, H, D*)
+        S = S + k_t[..., :, None] * v_t[..., None, :]
+        o_t = jnp.einsum("bhd,bhde->bhe", q_t, S)
+        return S, o_t
+
+    B, L, H, Dk = q.shape
+    Dv = v.shape[-1]
+    S0 = jnp.zeros((B, H, Dk, Dv), dtype=v.dtype)
+    qs = jnp.moveaxis(q, 1, 0)
+    ks = jnp.moveaxis(k, 1, 0)
+    vs = jnp.moveaxis(v, 1, 0)
+    _, os = lax.scan(step, S0, (qs, ks, vs))
+    return jnp.moveaxis(os, 0, 1)
+
+
+def chunked_linear_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: float = 1.0,
+    chunk: int = _DEFAULT_CHUNK,
+) -> jax.Array:
+    """Chunked causal linear attention (counterpart of ``chunk_simple_gla``
+    with no decay)."""
+    B, L, H, Dk = q.shape
+    Dv = v.shape[-1]
+    if L % chunk != 0:
+        chunk = _pick_chunk(L, chunk)
+    C = L // chunk
+
+    k = k * scale
+    qc = q.reshape(B, C, chunk, H, Dk)
+    kc = k.reshape(B, C, chunk, H, Dk)
+    vc = v.reshape(B, C, chunk, H, Dv)
+
+    # Intra-chunk: causal masked attention within each chunk.
+    att = jnp.einsum("bcihd,bcjhd->bchij", qc, kc)
+    causal = jnp.tril(jnp.ones((chunk, chunk), dtype=bool))
+    att = jnp.where(causal, att, jnp.zeros((), att.dtype))
+    y_intra = jnp.einsum("bchij,bcjhe->bcihe", att, vc)
+
+    # Inter-chunk: exclusive prefix sum of per-chunk KV summaries.
+    S = jnp.einsum("bcjhd,bcjhe->bchde", kc, vc)
+    S_prefix = jnp.cumsum(S, axis=1) - S  # exclusive
+    y_inter = jnp.einsum("bcihd,bchde->bcihe", qc, S_prefix)
+
+    return (y_intra + y_inter).reshape(B, L, H, Dv)
+
+
+def cumulative_key_normalizer(
+    q: jax.Array, k: jax.Array, eps: Optional[float] = None
+) -> jax.Array:
+    """n_t = q_t · Σ_{s≤t} k_s — the linear-attention normalizer denominator
+    (ref models/attention.py:77-79).  Returns (B, L, H)."""
+    k_cum = jnp.cumsum(k, axis=1)
+    n = jnp.einsum("blhd,blhd->blh", q, k_cum)
+    if eps is not None:
+        n = jnp.where(n == 0, jnp.full((), eps, n.dtype), n)
+    return n
+
+
+def _pick_chunk(L: int, preferred: int) -> int:
+    for c in (preferred, 64, 32, 16, 8, 4, 2, 1):
+        if c <= L and L % c == 0:
+            return c
+    return 1

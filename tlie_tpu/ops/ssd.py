@@ -1,0 +1,163 @@
+"""Chunked selective-state-space scan (Mamba-2 / SSD), MXU-first.
+
+TPU-native replacement for the reference's Triton
+``mamba_chunk_scan_combined`` (called at models/mamba.py:138-150 with
+chunk_size=256).  Semantics: per head h with state size N and head dim P,
+
+    h_t = exp(dt_t · A_h) · h_{t-1} + dt_t · B_t x_tᵀ        (state: N×P)
+    y_t = C_tᵀ h_t + D_h · x_t
+
+where B_t, C_t are shared across the heads of a group (ngroups G | H).
+
+The chunked algorithm decomposes the sequence into chunks of Q steps:
+intra-chunk contributions become a causally-masked (Q×Q) attention-like
+matmul with a segment-sum decay mask, inter-chunk state flow is a short
+recurrence over L/Q chunk summaries — all large batched matmuls on the MXU,
+with the decay elementwise work fused in by XLA.
+
+Inputs follow the reference kernel's layout:
+  x (B, L, H, P); dt (B, L, H) — already softplus'd; A (H,) negative;
+  B_mat, C_mat (B, L, G, N); D optional (H,).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_DEFAULT_CHUNK = 256
+
+
+def _expand_groups(m: jax.Array, H: int) -> jax.Array:
+    """(B, L, G, N) → (B, L, H, N) by repeating each group over its heads."""
+    B, L, G, N = m.shape
+    if G == H:
+        return m
+    rep = H // G
+    return jnp.repeat(m, rep, axis=2)
+
+
+def ssd_recurrent_scan(
+    x: jax.Array,
+    dt: jax.Array,
+    A: jax.Array,
+    B_mat: jax.Array,
+    C_mat: jax.Array,
+    D: Optional[jax.Array] = None,
+    initial_states: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Sequential oracle (test ground truth / decode path)."""
+    B, L, H, P = x.shape
+    N = B_mat.shape[-1]
+    Bh = _expand_groups(B_mat, H)
+    Ch = _expand_groups(C_mat, H)
+
+    if initial_states is None:
+        h0 = jnp.zeros((B, H, N, P), dtype=jnp.promote_types(x.dtype, jnp.float32))
+    else:
+        # reference layout (B, H, P, N) → internal (B, H, N, P)
+        h0 = jnp.swapaxes(initial_states, -1, -2).astype(jnp.float32)
+
+    def step(h, inp):
+        x_t, dt_t, B_t, C_t = inp  # (B,H,P), (B,H), (B,H,N), (B,H,N)
+        decay = jnp.exp(dt_t * A)[..., None, None]  # (B,H,1,1)
+        h = decay * h + (dt_t[..., None, None] * B_t[..., :, None]) * x_t[..., None, :]
+        y_t = jnp.einsum("bhn,bhnp->bhp", C_t, h)
+        return h, y_t
+
+    xs = jnp.moveaxis(x, 1, 0)
+    dts = jnp.moveaxis(dt, 1, 0)
+    Bs = jnp.moveaxis(Bh, 1, 0)
+    Cs = jnp.moveaxis(Ch, 1, 0)
+    _, ys = lax.scan(step, h0, (xs, dts, Bs, Cs))
+    y = jnp.moveaxis(ys, 0, 1).astype(x.dtype)
+    if D is not None:
+        y = y + D[None, None, :, None] * x
+    return y
+
+
+def ssd_chunked_scan(
+    x: jax.Array,
+    dt: jax.Array,
+    A: jax.Array,
+    B_mat: jax.Array,
+    C_mat: jax.Array,
+    chunk_size: int = _DEFAULT_CHUNK,
+    D: Optional[jax.Array] = None,
+    initial_states: Optional[jax.Array] = None,
+    return_final_state: bool = False,
+):
+    """Parallel chunked SSD scan. See module docstring for semantics."""
+    B, L, H, P = x.shape
+    N = B_mat.shape[-1]
+    Q = chunk_size
+    if L % Q != 0:
+        Q = _pick_chunk(L, Q)
+    C = L // Q
+
+    compute_dtype = jnp.promote_types(x.dtype, jnp.float32)
+    Bh = _expand_groups(B_mat, H).astype(compute_dtype)
+    Ch = _expand_groups(C_mat, H).astype(compute_dtype)
+    xf = x.astype(compute_dtype)
+    dtf = dt.astype(compute_dtype)
+
+    xc = xf.reshape(B, C, Q, H, P)
+    dtc = dtf.reshape(B, C, Q, H)
+    Bc = Bh.reshape(B, C, Q, H, N)
+    Cc = Ch.reshape(B, C, Q, H, N)
+
+    dA = dtc * A  # (B, C, Q, H)
+    cs = jnp.cumsum(dA, axis=2)  # inclusive within-chunk cumsum
+
+    # --- intra-chunk (diagonal blocks): masked decay attention -------------
+    # decay from step j to step i (i >= j): exp(cs_i - cs_j)
+    seg = cs[:, :, :, None, :] - cs[:, :, None, :, :]  # (B,C,Q_i,Q_j,H)
+    causal = jnp.tril(jnp.ones((Q, Q), dtype=bool))[None, None, :, :, None]
+    decay = jnp.exp(jnp.where(causal, seg, -jnp.inf))
+    scores = jnp.einsum("bcihn,bcjhn->bcijh", Cc, Bc) * decay * dtc[:, :, None, :, :]
+    y_diag = jnp.einsum("bcijh,bcjhp->bcihp", scores, xc)
+
+    # --- chunk summaries: state contributed by each chunk at its end ------
+    decay_to_end = jnp.exp(cs[:, :, -1:, :] - cs)  # (B, C, Q, H)
+    wk = Bc * (decay_to_end * dtc)[..., None]  # (B, C, Q, H, N)
+    S = jnp.einsum("bcjhn,bcjhp->bchnp", wk, xc)  # (B, C, H, N, P)
+
+    # --- inter-chunk recurrence over the C chunk summaries ----------------
+    chunk_decay = jnp.exp(cs[:, :, -1, :])  # (B, C, H)
+    if initial_states is None:
+        h0 = jnp.zeros((B, H, N, P), dtype=compute_dtype)
+    else:
+        h0 = jnp.swapaxes(initial_states, -1, -2).astype(compute_dtype)
+
+    def chunk_step(h, inp):
+        S_c, g_c = inp  # (B,H,N,P), (B,H)
+        h_prev = h
+        h = g_c[..., None, None] * h + S_c
+        return h, h_prev
+
+    S_seq = jnp.moveaxis(S, 1, 0)
+    g_seq = jnp.moveaxis(chunk_decay, 1, 0)
+    h_final, h_prev_seq = lax.scan(chunk_step, h0, (S_seq, g_seq))
+    R_prev = jnp.moveaxis(h_prev_seq, 0, 1)  # (B, C, H, N, P): state before chunk
+
+    # --- inter-chunk output: queries against carried-in state -------------
+    wq = Cc * jnp.exp(cs)[..., None]  # (B, C, Q, H, N)
+    y_off = jnp.einsum("bcihn,bchnp->bcihp", wq, R_prev)
+
+    y = (y_diag + y_off).reshape(B, L, H, P)
+    if D is not None:
+        y = y + D[None, None, :, None] * xf
+    y = y.astype(x.dtype)
+    if return_final_state:
+        return y, jnp.swapaxes(h_final, -1, -2)
+    return y
+
+
+def _pick_chunk(L: int, preferred: int) -> int:
+    for c in (preferred, 128, 64, 32, 16, 8, 4, 2, 1):
+        if c <= L and L % c == 0:
+            return c
+    return 1
