@@ -1,0 +1,185 @@
+"""Unified sequence backbone for the SSM model families (LRU / S5 / S4).
+
+Functional counterpart of the reference's JAX stack
+(ref models/jax_layers.py): Dense encoder → N × (norm → SSM → GLU-variant
+activation → dropout → residual) → pooling → Dense decoder → log-softmax.
+
+Key difference from the reference: modules are **natively batched** over
+(B, L, ·) instead of per-example modules lifted with ``nn.vmap`` — the
+compiled HLO is the same batched matmuls, but the code states it directly
+and BatchNorm/dropout axes are explicit.  The flax parameter tree
+(``encoder/encoder``, ``encoder/layers_i/{seq,out1,out2,normalize}``,
+``decoder``) is kept identical to the reference so its orbax checkpoints
+restore into this backbone unchanged (analysis relies on that layout,
+ref analysis/eval_eig.py:241-252).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class SequenceLayer(nn.Module):
+    """Single residual block around an SSM core (ref models/jax_layers.py:10-84).
+
+    Activation variants: full_glu / half_glu1 / half_glu2 / gelu.
+    """
+
+    ssm: Callable[..., nn.Module]
+    d_model: int
+    dropout: float = 0.0
+    activation: str = "full_glu"
+    training: bool = True
+    prenorm: bool = True
+    norm: str = "layer"
+
+    def setup(self):
+        self.seq = self.ssm()
+        if self.activation == "full_glu":
+            self.out1 = nn.Dense(self.d_model)
+            self.out2 = nn.Dense(self.d_model)
+        elif self.activation in ("half_glu1", "half_glu2"):
+            self.out2 = nn.Dense(self.d_model)
+        if self.norm == "batch":
+            # stats over (batch, time); feature axis last
+            self.normalize = nn.BatchNorm(
+                use_running_average=not self.training, axis_name=None
+            )
+        else:
+            self.normalize = nn.LayerNorm()
+        # one mask per (example, feature), broadcast across time (axis -2)
+        self.drop = nn.Dropout(
+            self.dropout, broadcast_dims=[-2], deterministic=not self.training
+        )
+
+    def __call__(self, x):
+        skip = x
+        if self.prenorm:
+            x = self.normalize(x)
+        x = self.seq(x)
+        if self.activation == "full_glu":
+            x = self.drop(nn.gelu(x))
+            x = self.out1(x) * jax.nn.sigmoid(self.out2(x))
+            x = self.drop(x)
+        elif self.activation == "half_glu1":
+            x = self.drop(nn.gelu(x))
+            x = x * jax.nn.sigmoid(self.out2(x))
+            x = self.drop(x)
+        elif self.activation == "half_glu2":
+            x1 = self.drop(nn.gelu(x))
+            x = x * jax.nn.sigmoid(self.out2(x1))
+            x = self.drop(x)
+        elif self.activation == "gelu":
+            x = self.drop(nn.gelu(x))
+        else:
+            raise NotImplementedError(f"Activation: {self.activation} not implemented")
+        x = skip + x
+        if not self.prenorm:
+            x = self.normalize(x)
+        return x
+
+
+class StackedEncoderModel(nn.Module):
+    """Dense encoder + stack of SequenceLayers (ref models/jax_layers.py:87-139)."""
+
+    ssm: Callable[..., nn.Module]
+    d_model: int
+    n_layers: int
+    activation: str = "full_glu"
+    dropout: float = 0.0
+    training: bool = True
+    prenorm: bool = True
+    norm: str = "layer"
+
+    def setup(self):
+        self.encoder = nn.Dense(self.d_model)
+        self.layers = [
+            SequenceLayer(
+                ssm=self.ssm,
+                dropout=self.dropout,
+                d_model=self.d_model,
+                activation=self.activation,
+                training=self.training,
+                prenorm=self.prenorm,
+                norm=self.norm,
+            )
+            for _ in range(self.n_layers)
+        ]
+
+    def __call__(self, x):
+        x = self.encoder(x)
+        for layer in self.layers:
+            x = layer(x)
+        return x
+
+
+def masked_meanpool(x, lengths):
+    """Mean over the valid (pre-padding) prefix of the time axis.
+
+    x: (B, L, d); lengths: (B,) → (B, d).  (ref models/jax_layers.py:142-155)
+    """
+    L = x.shape[-2]
+    mask = jnp.arange(L)[None, :] < lengths[:, None]
+    return jnp.sum(mask[..., None] * x, axis=-2) / lengths[:, None]
+
+
+class ClassificationModel(nn.Module):
+    """Backbone + pooling + Dense decoder + log-softmax
+    (ref models/jax_layers.py:162-240).  Natively batched: input (B, L, d_in)
+    or, when ``padded``, a tuple (inputs, lengths)."""
+
+    ssm: Callable[..., nn.Module]
+    d_output: int
+    d_model: int
+    n_layers: int
+    padded: bool = False
+    activation: str = "full_glu"
+    dropout: float = 0.2
+    training: bool = True
+    pooling: str = "mean"
+    prenorm: bool = True
+    norm: str = "layer"
+
+    def setup(self):
+        self.encoder = StackedEncoderModel(
+            ssm=self.ssm,
+            d_model=self.d_model,
+            n_layers=self.n_layers,
+            activation=self.activation,
+            dropout=self.dropout,
+            training=self.training,
+            prenorm=self.prenorm,
+            norm=self.norm,
+        )
+        self.decoder = nn.Dense(self.d_output)
+
+    def __call__(self, x):
+        if self.padded:
+            x, lengths = x
+        x = self.encoder(x)
+        if self.pooling == "mean":
+            if self.padded:
+                x = masked_meanpool(x, lengths)
+            else:
+                x = jnp.mean(x, axis=-2)
+        elif self.pooling == "last":
+            if self.padded:
+                raise NotImplementedError(
+                    "pooling='last' with padded sequences is not supported"
+                )
+            x = x[..., -1, :]
+        elif self.pooling == "none":
+            pass
+        else:
+            raise NotImplementedError("pooling must be in ['mean', 'last', 'none']")
+        x = self.decoder(x)
+        return nn.log_softmax(x, axis=-1)
+
+
+# API-compat alias: the reference exposes a vmapped wrapper under this name
+# (ref models/jax_layers.py:244-251); here the model is natively batched.
+BatchClassificationModel = ClassificationModel
