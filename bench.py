@@ -1,0 +1,93 @@
+"""Benchmark: MQAR training throughput (steps/sec/chip) on the flagship task.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Measured workload: the reference's headline MQAR budget (seq 512, 64 kv
+pairs, vocab 8192, batch 64 — ref configs/iclr2026/mqar/mqar-mamba2.yaml)
+trained with the linear-attention transformer (the BASELINE.json primary
+config), jitted end-to-end on one chip.
+
+``vs_baseline``: the reference publishes no throughput numbers
+(BASELINE.md); we normalise against a conservative estimate of the
+reference stack on its target GPU — 10 steps/s for this workload on a
+single A100-class card (flash-linear-attention Triton path) — so
+vs_baseline > 1.0 means faster than the reference-class setup.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REFERENCE_STEPS_PER_SEC = 10.0  # documented estimate, see module docstring
+
+
+def main():
+    from tlie_tpu.config import ExperimentConfig
+    from tlie_tpu.data import SequenceDataset
+    from tlie_tpu.models.registry import build_models
+    from tlie_tpu.training.loop import _make_state
+    from tlie_tpu.training.steps import prep_batch, train_step
+
+    raw = {
+        "seed": 1919,
+        "save": None,
+        "dataset": {
+            "name": "MQAR", "_name_": "mqar",
+            "input_seq_length": 512, "num_kv_pairs": 64, "vocab_size": 8192,
+            "num_train_examples": 2048, "num_test_examples": 256,
+            "fixed_size": True,
+        },
+        "train": {
+            "total_steps": 100, "batch_size": 64, "lr": 0.01, "wd": 0.1,
+            "eval_every": 1000, "cosine_anneal": True, "param_group": None,
+        },
+        "model": {
+            "input_dim": 1, "output_dim": 8192, "layer": "transformer",
+            "attention_fn": "lin-attention", "use_flash": False,
+            "num_layers": 2, "hidden_dim": 128, "state_dim": 128,
+            "num_heads": 1, "att_dropout": 0.0, "norm": "layer",
+            "embedding": True, "vocab_size": 8192, "max_pos_embed": 512,
+            "mixer": "none", "mixer_dim": 128, "dropout": 0.1,
+            "classifier": False, "pooling": "mean", "dual": False,
+        },
+    }
+    cfg = ExperimentConfig(raw).validate()
+    ds = SequenceDataset.registry["mqar"](**cfg.dataset)
+    ds.setup()
+    cfg.derive_runtime_fields(ds)
+
+    train_model, _, _ = build_models(cfg.model, False)
+    state, _, rng = _make_state(cfg, train_model, integer_inputs=True)
+
+    loader = ds.train_dataloader(batch_size=64, shuffle=True)
+    batch = next(iter(loader))
+    inputs, labels = prep_batch(batch, 512, 1, lang_model=True)
+    lrs = {"regular": 0.01}
+
+    # warm up (compile); float() forces a synchronous host read —
+    # block_until_ready does not reliably synchronise through the axon tunnel
+    state, loss = train_step(state, rng, inputs, labels, lrs, train_model, "layer")
+    float(loss)
+
+    n_steps = 50
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, loss = train_step(state, rng, inputs, labels, lrs, train_model, "layer")
+    float(loss)
+    dt = time.perf_counter() - t0
+    sps = n_steps / dt
+
+    print(json.dumps({
+        "metric": "mqar_lin_attention_train_steps_per_sec_per_chip",
+        "value": round(sps, 3),
+        "unit": "steps/s",
+        "vs_baseline": round(sps / REFERENCE_STEPS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

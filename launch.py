@@ -1,0 +1,133 @@
+"""Sweep launcher CLI — train + eigen-analysis driver.
+
+Contract parity with the reference launcher (ref launch.py:51-188):
+
+    python launch.py --config <cfg.yaml> [--analysis_config <a.yaml>] [--sweep]
+
+* ``--config`` paths resolve against ``configs/`` first, then as given, so
+  both this repo's configs and reference-format configs from anywhere work.
+* Sweep configs hold ``base_config`` + ``sweep`` lists, expanded by
+  Cartesian product; the dataset is built once and reused across points.
+* After each training run that saved a checkpoint, the eigen analysis runs
+  on it (skipped when no checkpoint, as in the reference).
+
+TPU-native additions: ``--sweep_parallel`` maps same-shape sweep points
+across the device mesh (see tlie_tpu/parallel/), instead of the reference's
+serial Python loop.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+import yaml
+
+from tlie_tpu.config import (
+    apply_sweep_point,
+    expand_sweep,
+    load_experiment,
+    load_sweep,
+    load_yaml,
+)
+
+
+def _resolve(path: str) -> Path:
+    for cand in (Path("configs") / path, Path(path)):
+        if cand.exists():
+            return cand
+    raise FileNotFoundError(f"Config not found: {path}")
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--config", type=str, required=True, help="experiment config file")
+    parser.add_argument("--analysis_config", type=str, default="no-analysis")
+    parser.add_argument("--sweep", action="store_true", default=False)
+    parser.add_argument(
+        "--sweep_parallel", action="store_true", default=False,
+        help="map sweep points across the device mesh (TPU-native)",
+    )
+    args = parser.parse_args(argv)
+
+    import jax
+
+    print(f"Using config {args.config}")
+    print(f"Running on {jax.devices()[0].device_kind} x{jax.device_count()}")
+
+    if args.sweep:
+        base, sweep = load_sweep(_resolve(args.config), config_root="configs")
+        cfg = base
+    else:
+        cfg = load_experiment(_resolve(args.config))
+        sweep = None
+
+    wandb_config = cfg.raw.pop("wandb", None)
+    print("\nCONFIG:")
+    print(yaml.dump(cfg.raw))
+
+    do_analysis = args.analysis_config != "no-analysis"
+    conf_args = load_yaml(_resolve(args.analysis_config)) if do_analysis else None
+
+    # dataset built once, shared across sweep points (ref launch.py:132-161)
+    from tlie_tpu.data import SequenceDataset
+
+    data_config = cfg.dataset
+    dataset = SequenceDataset.registry[data_config["_name_"]](**data_config)
+    dataset.setup()
+    metrics_fn = dataset.get_metrics(layer=cfg.layer)
+    cfg.derive_runtime_fields(dataset)
+
+    bsz = cfg.train["batch_size"]
+    trainloader = dataset.train_dataloader(batch_size=bsz, shuffle=True)
+    testloader = dataset.test_dataloader(batch_size=bsz, shuffle=False)
+    analysisloader = (
+        dataset.test_dataloader(batch_size=conf_args["batch_size"], shuffle=False)
+        if do_analysis
+        else None
+    )
+
+    from tlie_tpu.training import train
+
+    def run_one(point_cfg):
+        path, perf = train(point_cfg, trainloader, testloader, metrics_fn, wandb_config)
+        if path is not None and do_analysis:
+            print("Running eigenvalue evaluation")
+            from tlie_tpu.analysis import eval_eig
+
+            eval_eig(
+                point_cfg.raw, conf_args, wandb_config, data_config,
+                analysisloader, path, perf,
+            )
+            print("Finished!")
+        return path, perf
+
+    if sweep is not None:
+        points = expand_sweep(sweep)
+        print(f"Found {len(points)} sweep configurations ...")
+        if args.sweep_parallel:
+            from tlie_tpu.parallel.sweep import run_sweep_on_mesh
+
+            run_sweep_on_mesh(
+                cfg, points, dataset, metrics_fn, wandb_config,
+                conf_args if do_analysis else None,
+            )
+        else:
+            for idx, point in enumerate(points):
+                print(f"Training... {idx + 1}/{len(points)}")
+                point_cfg = apply_sweep_point(cfg, point)
+                point_cfg.derive_runtime_fields(dataset)
+                print(yaml.dump(point_cfg.raw))
+                run_one(point_cfg)
+                print(f"Done with {idx + 1} of {len(points)} configurations.")
+    else:
+        path, perf = run_one(cfg)
+        if path is None:
+            print("Path is None, no eval")
+
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,194 @@
+"""End-to-end integration: tiny config → train steps → checkpoint → analysis.
+
+The CPU-runnable slice from SURVEY.md §4.3: a reduced MQAR task trained for
+a handful of steps must beat chance, save an orbax checkpoint in the
+reference layout, and the analysis pipeline must produce the full artifact
+set with correct shapes.
+"""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from tlie_tpu.config import ExperimentConfig
+from tlie_tpu.data import SequenceDataset
+
+
+def _tiny_config(tmp_path, layer="transformer", extra_model=None, extra_train=None):
+    model = {
+        "input_dim": 1,
+        "output_dim": 64,
+        "layer": layer,
+        "num_layers": 2,
+        "hidden_dim": 32,
+        "state_dim": 32,
+        "num_heads": 1,
+        "norm": "layer",
+        "dropout": 0.0,
+        "vocab_size": 64,
+    }
+    model.update(extra_model or {})
+    train = {
+        "total_steps": 30,
+        "batch_size": 16,
+        "lr": 3e-3,
+        "wd": 0.1,
+        "eval_every": 15,
+        "cosine_anneal": True,
+        "param_group": None,
+    }
+    train.update(extra_train or {})
+    raw = {
+        "seed": 7,
+        "save": str(tmp_path / f"ckpt-{layer}"),
+        "dataset": {
+            "name": "MQAR",
+            "_name_": "mqar",
+            "input_seq_length": 32,
+            "num_kv_pairs": 4,
+            "vocab_size": 64,
+            "num_train_examples": 256,
+            "num_test_examples": 64,
+            "fixed_size": True,
+        },
+        "train": train,
+        "model": model,
+    }
+    return ExperimentConfig(raw).validate()
+
+
+def _run(cfg):
+    from tlie_tpu.training import train
+
+    ds = SequenceDataset.registry[cfg.dataset["_name_"]](**cfg.dataset)
+    ds.setup()
+    cfg.derive_runtime_fields(ds)
+    metrics_fn = ds.get_metrics(layer=cfg.layer)
+    trainloader = ds.train_dataloader(batch_size=cfg.train["batch_size"], shuffle=True)
+    testloader = ds.test_dataloader(batch_size=cfg.train["batch_size"], shuffle=False)
+    path, perf = train(cfg, trainloader, testloader, metrics_fn, None)
+    return ds, path, perf
+
+
+@pytest.mark.slow
+def test_lin_attention_end_to_end_with_analysis(tmp_path):
+    cfg = _tiny_config(
+        tmp_path,
+        layer="transformer",
+        extra_model={
+            "attention_fn": "lin-attention",
+            "use_flash": False,
+            "att_dropout": 0.0,
+            "embedding": True,
+            "max_pos_embed": 32,
+            "mixer": "none",
+            "mixer_dim": 32,
+            "classifier": False,
+            "pooling": "mean",
+            "dual": False,
+        },
+    )
+    ds, path, perf = _run(cfg)
+    assert path is not None and os.path.isdir(path)
+    assert perf > 1.0 / 64  # beats chance
+
+    from tlie_tpu.analysis import eval_eig
+
+    conf_args = {"batch_size": 16, "save_path": str(tmp_path / "analysis") + "/"}
+    loader = ds.test_dataloader(batch_size=16, shuffle=False)
+    eig, eig_init, pct, pct_init, pct_ph, pct_ph_init = eval_eig(
+        cfg.raw, conf_args, None, cfg.dataset, loader, path, perf
+    )
+    L = cfg.dataset["input_seq_length"]
+    assert eig.shape == (16, L - 1, 1, 2)
+    assert pct.shape == (7, 16, 1, 2)
+    assert pct_ph.shape == (6, 16, 1, 2)
+
+    out_dirs = glob.glob(str(tmp_path / "analysis" / "*"))
+    assert len(out_dirs) == 1
+    files = {os.path.basename(p) for p in glob.glob(out_dirs[0] + "/*")}
+    expected = {
+        "eig.npy", "eig_init.npy", "percentage.npy", "percentage_init.npy",
+        "percentage_phase.npy", "percentage_phase_init.npy",
+        "percentage_mean.npy", "percentage_init_mean.npy",
+        "percentage_std.npy", "percentage_init_std.npy",
+        "percentage_file.txt", "used_config.yaml",
+    }
+    assert expected <= files
+    # config snapshot round-trips
+    with open(os.path.join(out_dirs[0], "used_config.yaml")) as f:
+        snap = yaml.safe_load(f)
+    assert snap["model"]["layer"] == "transformer"
+
+
+@pytest.mark.slow
+def test_lru_end_to_end_with_analysis(tmp_path):
+    cfg = _tiny_config(
+        tmp_path,
+        layer="lru",
+        extra_model={
+            "r_min": 0.5,
+            "r_max": 0.95,
+            "input_dim": 64,
+            "activation": "full_glu",
+            "pooling": "none",
+            "prenorm": False,
+            "ssm_lr_vars": ["nu_log", "theta_log", "gamma_log", "B_re", "B_im"],
+        },
+        extra_train={"ssm_lr": 1e-3, "lr_min": 1e-7, "reduce_factor": 0.5,
+                     "lr_patience": 10},
+    )
+    ds, path, perf = _run(cfg)
+    assert path is not None
+
+    from tlie_tpu.analysis import eval_eig
+
+    conf_args = {"batch_size": 8, "save_path": str(tmp_path / "analysis") + "/"}
+    loader = ds.test_dataloader(batch_size=8, shuffle=False)
+    eig, eig_init, pct, pct_init, pct_ph, pct_ph_init = eval_eig(
+        cfg.raw, conf_args, None, cfg.dataset, loader, path, perf
+    )
+    # (state_dim, layers) complex spectra; init radii within the ring
+    assert eig.shape == (32, 2)
+    assert np.iscomplexobj(eig_init)
+    radii = np.abs(eig_init)
+    assert radii.min() >= 0.5 - 1e-5 and radii.max() <= 0.95 + 1e-5
+    assert pct.shape == (7, 2) and pct_ph.shape == (6, 2)
+
+
+def test_mqar_generator_invariants():
+    """Keys unique per example, labels −100 except at query positions whose
+    value matches the bound key (ref dataloaders/mqar.py:83-135)."""
+    from tlie_tpu.data.mqar import multiquery_ar
+
+    V, E, L, K = 64, 32, 32, 4
+    inputs, labels = multiquery_ar(
+        vocab_size=V, num_examples=E, input_seq_len=L, seed=0,
+        num_kv_pairs=K, random_non_queries=False,
+    )
+    assert inputs.shape == (E, L) and labels.shape == (E, L)
+    for e in range(E):
+        keys = inputs[e, 0 : 2 * K : 2]
+        vals = inputs[e, 1 : 2 * K : 2]
+        assert len(set(keys)) == K  # unique keys
+        assert all(1 <= k < V // 2 for k in keys)
+        assert all(V // 2 <= v < V for v in vals)
+        binding = dict(zip(keys, vals))
+        lbl_pos = np.nonzero(labels[e] != -100)[0]
+        assert len(lbl_pos) == K
+        for t in lbl_pos:
+            # label at t is the value of the key queried at position t
+            assert labels[e, t] == binding[inputs[e, t]]
+
+
+def test_mqar_random_non_queries_fills_zeros():
+    from tlie_tpu.data.mqar import multiquery_ar
+
+    inputs, _ = multiquery_ar(
+        vocab_size=64, num_examples=16, input_seq_len=32, seed=0,
+        num_kv_pairs=4, random_non_queries=True,
+    )
+    assert (inputs == 0).mean() < 0.05  # zeros replaced (a random 0 may remain)

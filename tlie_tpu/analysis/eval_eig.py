@@ -1,0 +1,302 @@
+"""Eigen-spectroscopy pipeline: checkpoint → per-layer spectra → artifacts.
+
+Counterpart of the reference pipeline (ref analysis/eval_eig.py:462-857):
+build the model at initialization, push one analysis batch layer-by-layer,
+extract eigenvalues per layer; restore the trained checkpoint and repeat;
+bin radii/phases against the fixed thresholds; emit the artifact set.
+
+TPU-native: activations stay on device, extraction is jitted per layer
+chain, and the only host work is the final binning of small arrays (and
+LAPACK eigvals for S4's dense Ā, as in the reference).
+
+Layer-chain quirk kept for parity: the reference extracts layer i's
+eigenvalues from the activations *after* applying layer i
+(ref eval_eig.py:510-517), i.e. the layer's own output feeds its Wqkv
+re-projection.  Deviation: both init and trained extraction run the model
+deterministically (the reference leaves the fresh torch model in train mode,
+so its init spectra carry dropout noise).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.registry import build_models
+from ..training.checkpoint import restore_checkpoint
+from ..training.steps import prep_batch
+from .artifacts import (
+    artifact_name,
+    save_artifacts,
+    write_percentage_file,
+    write_percentage_file_ssm,
+)
+from .binning import (
+    PHASE_THRESHOLDS,
+    RADIUS_THRESHOLDS,
+    threshold_analysis,
+    threshold_analysis_ssm,
+)
+from .extractors import (
+    eig_att_linear,
+    eig_att_norm,
+    eig_att_softmax,
+    eig_lru,
+    eig_mamba2,
+    eig_mamba2_lti,
+    eig_s4,
+    eig_s5,
+)
+
+
+# ------------------------------------------------------------------ helpers
+
+
+def _layer_activations(model, params, x, family: str):
+    """Activations after the encoder and after each block, one jit."""
+
+    def collect(mdl, inp):
+        h = mdl.encoder(inp)
+        outs = []
+        blocks = mdl.layers if family == "transformer" else mdl.blocks
+        for blk in blocks:
+            h = blk(h)
+            outs.append(h)
+        return outs
+
+    return model.apply({"params": params}, x, method=collect)
+
+
+def _extract_attention_family(
+    model, params, x, model_config: Dict[str, Any]
+) -> np.ndarray:
+    """Per-layer η/λ for the transformer & mamba families → (B, N, H, layers)."""
+    family = model_config["layer"]
+    num_layers = model_config["num_layers"]
+    d_model = model_config["hidden_dim"]
+    d_qk = model_config["state_dim"]
+    num_heads = model_config["num_heads"]
+    pseudo_lti = model_config.get("pseudoLTI", False)
+
+    acts = _layer_activations(model, params, x, family)
+
+    etas = []
+    for i in range(num_layers):
+        key = f"layers_{i}" if family == "transformer" else f"blocks_{i}"
+        lp = params[key]
+        h = acts[i]
+        if family == "mamba":
+            mp = lp["mamba"]
+            if pseudo_lti:
+                eta = eig_mamba2_lti(h, jnp.asarray(mp["A"]), nheads=None)
+            else:
+                d_inner = model_config.get("expansion", 1) * d_model
+                nheads = d_inner // (d_model // num_heads)
+                eta = eig_mamba2(
+                    h,
+                    jnp.asarray(mp["in_proj"]["kernel"]),
+                    jnp.asarray(mp["in_proj"].get("bias")) if "bias" in mp["in_proj"] else None,
+                    jnp.asarray(mp["dt_bias"]),
+                    jnp.asarray(mp["A_log"]),
+                    d_inner=d_inner,
+                    ngroups=1,
+                    d_state=model_config["state_dim"],
+                    nheads=nheads,
+                )
+        else:
+            att = lp["attention"]
+            attention_fn = model_config["attention_fn"]
+            if attention_fn == "sm-attention":
+                w = att["Wqkv"]
+                eta = eig_att_softmax(
+                    h, jnp.asarray(w["kernel"]),
+                    jnp.asarray(w["bias"]) if "bias" in w else None,
+                    d_qk, d_model, num_heads,
+                )
+            elif attention_fn == "lin-attention":
+                w = att["Wqkv"]
+                eta = eig_att_linear(
+                    h, jnp.asarray(w["kernel"]),
+                    jnp.asarray(w["bias"]) if "bias" in w else None,
+                    d_qk, d_model, num_heads,
+                )
+            elif attention_fn == "norm-attention":
+                w = att["Wvqkn"]
+                offset = (
+                    jnp.asarray(att["offset"])
+                    if model_config.get("offset", False)
+                    else None
+                )
+                eta = eig_att_norm(
+                    h, jnp.asarray(w["kernel"]),
+                    jnp.asarray(w["bias"]) if "bias" in w else None,
+                    d_qk, d_model, num_heads,
+                    norm_fn=model_config["norm_fn"], offset=offset,
+                )
+            else:
+                raise RuntimeError(f"unsupported attention_fn {attention_fn}")
+        etas.append(np.asarray(jax.device_get(eta))[..., None])
+    return np.concatenate(etas, axis=-1)  # (B, N, H, layers)
+
+
+def _ssm_layer_params(params) -> list:
+    enc = params["encoder"]
+    layers = []
+    for key in sorted(enc.keys()):
+        if key.startswith("layers_"):
+            layers.append(enc[key]["seq"])
+    return layers
+
+
+def _extract_ssm_family(layer_list, model_config) -> np.ndarray:
+    """Per-layer complex spectra for lru/s4/s5 → complex128 (N, layers)."""
+    family = model_config["layer"]
+    seq_len = model_config["seq_len"]
+    cols = []
+    for lp in layer_list:
+        if family == "lru":
+            re, im = eig_lru(lp)
+        elif family == "s5":
+            re, im = eig_s5(lp)
+        elif family == "s4":
+            re, im = eig_s4(lp, idx=1, seq_len=seq_len)  # channel idx per ref :689
+        else:
+            raise RuntimeError(f"unsupported ssm family {family}")
+        lam = np.asarray(jax.device_get(re)) + 1j * np.asarray(jax.device_get(im))
+        cols.append(lam[..., None])
+    return np.concatenate(cols, axis=-1)
+
+
+def _init_params(model_config, batch_size, seed, family, sample_input):
+    """Freshly initialised params (ref get_init_layers_ssm, eval_eig.py:207-239)."""
+    _, eval_model, _ = build_models(dict(model_config), padded=False)
+    rng = jax.random.PRNGKey(seed)
+    init_rng, _ = jax.random.split(rng)
+    p_rng, d_rng = jax.random.split(init_rng)
+    variables = eval_model.init({"params": p_rng, "dropout": d_rng}, sample_input)
+    return eval_model, variables["params"]
+
+
+# ------------------------------------------------------------------ pipeline
+
+
+def eval_eig(
+    args: Dict[str, Any],
+    conf_args: Dict[str, Any],
+    wandb_config: Optional[Dict[str, Any]],
+    data_config: Dict[str, Any],
+    loader,
+    path_file: str,
+    perf: float,
+):
+    """Full spectra pipeline; signature parity with ref eval_eig.py:462."""
+    model_config = dict(args["model"])
+    seed = args["seed"]
+    num_layers = model_config["num_layers"]
+    family = model_config["layer"]
+    path = path_file if os.path.isabs(path_file) else os.path.abspath(path_file)
+
+    arrays: Dict[str, Any] = {}
+
+    if family in ("mamba", "transformer"):
+        num_heads = model_config["num_heads"]
+        X, _, aux = next(iter(loader))
+        inputs, _ = prep_batch((X, X, aux), model_config["seq_len"],
+                               model_config["input_dim"], lang_model=True)
+
+        model, init_p = _init_params(model_config, len(X), seed, family, inputs)
+        eig_init = _extract_attention_family(model, init_p, inputs, model_config)
+
+        restored = restore_checkpoint(path)
+        trained_p = restored["model"]["params"]
+        eig = _extract_attention_family(model, trained_p, inputs, model_config)
+
+        batch_size = eig.shape[0]
+        if family == "mamba":
+            rad_init, rad = np.abs(eig_init), np.abs(eig)
+            arrays["percentage_init"] = threshold_analysis(rad_init, RADIUS_THRESHOLDS)
+            arrays["percentage"] = threshold_analysis(rad, RADIUS_THRESHOLDS)
+            ph_init = np.arctan2(np.zeros_like(eig_init), eig_init) * 180 / np.pi
+            ph = np.arctan2(np.zeros_like(eig), eig) * 180 / np.pi
+            arrays["percentage_phase_init"] = threshold_analysis(ph_init, PHASE_THRESHOLDS)
+            arrays["percentage_phase"] = threshold_analysis(ph, PHASE_THRESHOLDS)
+        else:
+            # η is real for the attention families; binned directly (ref :668-674)
+            arrays["percentage_init"] = threshold_analysis(eig_init, RADIUS_THRESHOLDS)
+            arrays["percentage"] = threshold_analysis(eig, RADIUS_THRESHOLDS)
+            arrays["percentage_phase_init"] = threshold_analysis(
+                0 * eig_init, PHASE_THRESHOLDS
+            )
+            arrays["percentage_phase"] = threshold_analysis(0 * eig, PHASE_THRESHOLDS)
+
+        arrays["percentage_init_mean"] = np.mean(arrays["percentage_init"], axis=1)
+        arrays["percentage_init_std"] = np.std(arrays["percentage_init"], axis=1)
+        arrays["percentage_mean"] = np.mean(arrays["percentage"], axis=1)
+        arrays["percentage_std"] = np.std(arrays["percentage"], axis=1)
+        arrays["eig"], arrays["eig_init"] = eig, eig_init
+
+        name_model_no_perf = artifact_name(args, perf, (wandb_config or {}).get("name", ""))
+        out_dir = os.path.join(
+            conf_args.get("save_path", "./analysis_results/"),
+            name_model_no_perf + f"-perf{perf:0.3f}",
+        )
+        os.makedirs(out_dir, exist_ok=True)
+        write_percentage_file(
+            os.path.join(out_dir, "percentage_file.txt"),
+            RADIUS_THRESHOLDS,
+            arrays["percentage"], arrays["percentage_init"],
+            arrays["percentage_mean"], arrays["percentage_init_mean"],
+            arrays["percentage_std"], arrays["percentage_init_std"],
+        )
+
+    elif family in ("lru", "s4", "s5"):
+        batch_size = conf_args["batch_size"]
+        sample = jnp.ones((batch_size, model_config["seq_len"], model_config["input_dim"]))
+        model, init_p = _init_params(model_config, batch_size, seed, family, sample)
+        eig_init = _extract_ssm_family(_ssm_layer_params(init_p), model_config)
+
+        restored = restore_checkpoint(path)
+        trained_layers = _ssm_layer_params(restored["model"]["params"])
+        eig = _extract_ssm_family(trained_layers, model_config)
+
+        rad_init = np.abs(eig_init)
+        rad = np.abs(eig)
+        arrays["percentage_init"] = threshold_analysis_ssm(rad_init, RADIUS_THRESHOLDS)
+        arrays["percentage"] = threshold_analysis_ssm(rad, RADIUS_THRESHOLDS)
+        ph_init = np.arctan2(eig_init.imag, eig_init.real) * 180 / np.pi
+        ph = np.arctan2(eig.imag, eig.real) * 180 / np.pi
+        arrays["percentage_phase_init"] = threshold_analysis_ssm(ph_init, PHASE_THRESHOLDS)
+        arrays["percentage_phase"] = threshold_analysis_ssm(ph, PHASE_THRESHOLDS)
+        arrays["percentage_init_mean"] = np.zeros(())
+        arrays["percentage_init_std"] = np.zeros(())
+        arrays["percentage_mean"] = np.zeros(())
+        arrays["percentage_std"] = np.zeros(())
+        arrays["eig"], arrays["eig_init"] = eig, eig_init
+
+        name_model_no_perf = artifact_name(args, perf, (wandb_config or {}).get("name", ""))
+        out_dir = os.path.join(
+            conf_args.get("save_path", "./analysis_results/"),
+            name_model_no_perf + f"-perf{perf:0.3f}",
+        )
+        os.makedirs(out_dir, exist_ok=True)
+        write_percentage_file_ssm(
+            os.path.join(out_dir, "percentage_file.txt"),
+            RADIUS_THRESHOLDS, PHASE_THRESHOLDS,
+            arrays["percentage"], arrays["percentage_init"],
+            arrays["percentage_phase"], arrays["percentage_phase_init"],
+        )
+    else:
+        raise RuntimeError(f"{family} is not a valid model option")
+
+    save_artifacts(out_dir, arrays, args, wandb_config,
+                   name_model_no_perf + f"-perf{perf:0.3f}")
+    print(f"[analysis] artifacts written to {out_dir}")
+    return (
+        arrays["eig"], arrays["eig_init"],
+        arrays["percentage"], arrays["percentage_init"],
+        arrays["percentage_phase"], arrays["percentage_phase_init"],
+    )

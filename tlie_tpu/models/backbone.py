@@ -23,6 +23,34 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+class DenseEmbed(nn.Module):
+    """Dense layer with an embedding-gather fast path for integer tokens.
+
+    Mathematically identical to ``Dense(one_hot(x))`` — the reference's
+    encoder path for token tasks (ref jax_helpers/train_helpers.py:310-311 +
+    models/jax_layers.py:113) — but gathers rows of the kernel instead of
+    materialising a (B, L, vocab) one-hot cube on the TPU.  Parameter names
+    and shapes match ``nn.Dense`` so reference checkpoints restore.
+    """
+
+    features: int
+    in_features: int | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        is_tokens = jnp.issubdtype(x.dtype, jnp.integer)
+        in_features = self.in_features if is_tokens else x.shape[-1]
+        if in_features is None:
+            raise ValueError("DenseEmbed needs in_features for integer inputs")
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (in_features, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        if is_tokens:
+            return jnp.take(kernel, x, axis=0) + bias
+        return x @ kernel + bias
+
+
 class SequenceLayer(nn.Module):
     """Single residual block around an SSM core (ref models/jax_layers.py:10-84).
 
@@ -94,9 +122,10 @@ class StackedEncoderModel(nn.Module):
     training: bool = True
     prenorm: bool = True
     norm: str = "layer"
+    d_input: int | None = None  # needed only for integer-token inputs
 
     def setup(self):
-        self.encoder = nn.Dense(self.d_model)
+        self.encoder = DenseEmbed(self.d_model, in_features=self.d_input)
         self.layers = [
             SequenceLayer(
                 ssm=self.ssm,
@@ -143,6 +172,7 @@ class ClassificationModel(nn.Module):
     pooling: str = "mean"
     prenorm: bool = True
     norm: str = "layer"
+    d_input: int | None = None  # needed only for integer-token inputs
 
     def setup(self):
         self.encoder = StackedEncoderModel(
@@ -154,6 +184,7 @@ class ClassificationModel(nn.Module):
             training=self.training,
             prenorm=self.prenorm,
             norm=self.norm,
+            d_input=self.d_input,
         )
         self.decoder = nn.Dense(self.d_output)
 

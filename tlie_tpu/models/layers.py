@@ -1,0 +1,160 @@
+"""Shared blocks for the attention / Mamba model families.
+
+Flax counterparts of the reference's torch building blocks
+(ref models/common.py:15-176): MLP, GLU, the learned convex-combination
+LAMBDA mixer, the LRA classifier head, GPT-2-style token+position
+embeddings, and the LRA-retrieval MATCH head.  All natively batched
+(..., L, d).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class MLP(nn.Module):
+    """Dense→GELU→dropout→Dense (ref models/common.py:33-48)."""
+
+    mlp_dim: int
+    output_dim: Optional[int] = None
+    dropout: float = 0.0
+    deterministic: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        out_dim = self.output_dim if self.output_dim is not None else x.shape[-1]
+        x = nn.Dense(self.mlp_dim, name="encoder")(x)
+        x = nn.gelu(x)
+        x = nn.Dropout(self.dropout, deterministic=self.deterministic)(x)
+        x = nn.Dense(out_dim, name="decoder")(x)
+        return nn.Dropout(self.dropout, deterministic=self.deterministic)(x)
+
+
+class GLU(nn.Module):
+    """x ↦ a · σ(b) from a single width-2d projection (ref models/common.py:50-58)."""
+
+    dropout: float = 0.0
+    deterministic: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        d = x.shape[-1]
+        out = nn.Dense(2 * d, name="linear")(x)
+        out = out[..., :d] * jax.nn.sigmoid(out[..., d:])
+        return nn.Dropout(self.dropout, deterministic=self.deterministic)(out)
+
+
+class LAMBDA(nn.Module):
+    """Learned convex combination of a GLU branch and an MLP branch sharing
+    one encoder (ref models/common.py:60-84); α is logit-parameterised."""
+
+    init: float = 0.5
+    dropout: float = 0.0
+    deterministic: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        d = x.shape[-1]
+        xz = nn.Dense(2 * d, name="encoder")(x)
+        alpha_init = -math.log(1.0 / self.init - 1.0)
+        alpha = self.param("alpha", lambda rng, shape: jnp.full(shape, alpha_init), (1,))
+        a = jax.nn.sigmoid(alpha)
+
+        glu_out = xz[..., :d] * jax.nn.sigmoid(xz[..., d:])
+        mlp_h = nn.Dropout(self.dropout, deterministic=self.deterministic)(nn.gelu(xz))
+        mlp_out = nn.Dense(d, name="decoder")(mlp_h)
+
+        out = a * glu_out + (1 - a) * mlp_out
+        return nn.Dropout(self.dropout, deterministic=self.deterministic)(out)
+
+
+class ClassifierHead(nn.Module):
+    """Pooling + optional 2-layer ReLU MLP (ref models/common.py:88-115)."""
+
+    mlp_dim: int
+    num_classes: int
+    pooling: str
+
+    @nn.compact
+    def __call__(self, x):
+        if self.pooling == "mean":
+            x = jnp.mean(x, axis=-2)
+        elif self.pooling == "max":
+            x = jnp.max(x, axis=-2)
+        elif self.pooling == "sum":
+            x = jnp.sum(x, axis=-2)
+        elif self.pooling == "cls":
+            x = x[..., 0, :]
+        # anything else: no pooling
+        if self.mlp_dim != 0:
+            x = nn.Dense(self.mlp_dim, name="encoder")(x)
+            x = nn.relu(x)
+            x = nn.Dense(self.num_classes, name="decoder")(x)
+        return x
+
+
+class TokenEmbeddings(nn.Module):
+    """GPT-2-style learnable token (+ optional position) embeddings
+    (ref models/common.py:117-176)."""
+
+    embed_dim: int
+    vocab_size: int
+    max_position_embeddings: int = 0
+
+    @nn.compact
+    def __call__(self, input_ids, position_ids=None):
+        emb = nn.Embed(self.vocab_size, self.embed_dim, name="word_embeddings")(
+            input_ids
+        )
+        if self.max_position_embeddings > 0:
+            if position_ids is None:
+                position_ids = jnp.arange(input_ids.shape[-1])
+            emb = emb + nn.Embed(
+                self.max_position_embeddings, self.embed_dim, name="position_embeddings"
+            )(position_ids)
+        return emb
+
+
+class MATCH(nn.Module):
+    """LRA-retrieval matching head: 3-layer ReLU MLP over the concatenated
+    pair encodings (ref models/common.py:15-29)."""
+
+    mlp_dim: int
+    output_dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.relu(nn.Dense(self.mlp_dim, name="encoder")(x))
+        x = nn.relu(nn.Dense(self.mlp_dim // 2, name="middle")(x))
+        return nn.Dense(self.output_dim, name="decoder")(x)
+
+
+class DepthwiseCausalConv(nn.Module):
+    """Depthwise causal conv parameters around ops.conv (torch Conv1d
+    groups=C parity; ref models/attention.py:140-147)."""
+
+    dim: int
+    kernel_size: int
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.conv import depthwise_causal_conv1d
+
+        # torch Conv1d default init: uniform(-k, k), k = 1/sqrt(in/groups * K)
+        k = 1.0 / math.sqrt(self.kernel_size)
+        weight = self.param(
+            "weight",
+            lambda rng, shape: jax.random.uniform(rng, shape, minval=-k, maxval=k),
+            (self.kernel_size, self.dim),
+        )
+        bias = self.param(
+            "bias",
+            lambda rng, shape: jax.random.uniform(rng, shape, minval=-k, maxval=k),
+            (self.dim,),
+        )
+        return depthwise_causal_conv1d(x, weight, bias)

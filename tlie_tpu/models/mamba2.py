@@ -1,0 +1,300 @@
+"""Mamba-2 / SSD model family (+ the paper's pseudo-LTI variant).
+
+Flax counterpart of the reference's torch Mamba stack (ref models/mamba.py):
+fused in_proj → [x, B, C, dt], softplus-dt with log-uniform-initialised
+bias, depthwise causal conv on xBC, chunked selective scan, out_proj — the
+scan runs through the MXU-first chunked SSD op (``ops/ssd.py``), replacing
+the Triton ``mamba_chunk_scan_combined``.
+
+``SSD_LTI`` is the pseudo-LTI ablation (ref models/mamba.py:156-299):
+per-head constant β=1 as the step, A = −softplus(A) with init uniform in
+(−8, −2), and the input-dependent dt folded into B instead of the decay.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..ops.ssd import ssd_chunked_scan
+from .layers import GLU, MATCH, DepthwiseCausalConv, TokenEmbeddings
+
+
+def _dt_bias_init(rng, nheads, dt_min, dt_max, dt_init_floor=1e-4):
+    """Inverse-softplus of a log-uniform dt sample (ref models/mamba.py:71-78)."""
+    u = jax.random.uniform(rng, (nheads,))
+    dt = jnp.exp(u * (math.log(dt_max) - math.log(dt_min)) + math.log(dt_min))
+    dt = jnp.clip(dt, min=dt_init_floor)
+    return dt + jnp.log(-jnp.expm1(-dt))
+
+
+class SSD(nn.Module):
+    """Selective state-space duality block core (ref models/mamba.py:25-154)."""
+
+    d_model: int
+    d_state: int = 64
+    d_conv: int = 4
+    expand: int = 1
+    headdim: int = 32
+    ngroups: int = 1
+    A_init_range: tuple = (1, 16)
+    dt_min: float = 0.001
+    dt_max: float = 0.1
+    dt_init_floor: float = 1e-4
+    chunk_size: int = 256
+    bias: bool = False
+    deterministic: bool = True
+
+    @property
+    def d_inner(self):
+        return self.expand * self.d_model
+
+    @property
+    def nheads(self):
+        return self.d_inner // self.headdim
+
+    @nn.compact
+    def __call__(self, u):
+        d_inner, nheads = self.d_inner, self.nheads
+        g, n = self.ngroups, self.d_state
+        conv_dim = d_inner + 2 * g * n
+
+        d_in_proj = d_inner + 2 * g * n + nheads
+        xbcdt = nn.Dense(d_in_proj, use_bias=self.bias, name="in_proj")(u)
+
+        dt_bias = self.param(
+            "dt_bias",
+            lambda rng, shape: _dt_bias_init(
+                rng, shape[0], self.dt_min, self.dt_max, self.dt_init_floor
+            ),
+            (nheads,),
+        )
+        A_log = self.param(
+            "A_log",
+            lambda rng, shape: jnp.log(
+                jax.random.uniform(
+                    rng, shape, minval=self.A_init_range[0], maxval=self.A_init_range[1]
+                )
+            ),
+            (nheads,),
+        )
+        D = self.param("D", nn.initializers.ones, (nheads,))
+
+        xBC = xbcdt[..., :conv_dim]
+        dt = xbcdt[..., conv_dim:]
+        dt = jax.nn.softplus(dt + dt_bias)  # (B, L, nheads)
+
+        if self.d_conv > 0:
+            xBC = jax.nn.silu(
+                DepthwiseCausalConv(conv_dim, self.d_conv, name="conv1d")(xBC)
+            )
+
+        x = xBC[..., :d_inner]
+        B_mat = xBC[..., d_inner : d_inner + g * n]
+        C_mat = xBC[..., d_inner + g * n :]
+
+        bsz, L = x.shape[0], x.shape[1]
+        y = ssd_chunked_scan(
+            x.reshape(bsz, L, nheads, self.headdim),
+            dt,
+            -jnp.exp(A_log),
+            B_mat.reshape(bsz, L, g, n),
+            C_mat.reshape(bsz, L, g, n),
+            chunk_size=self.chunk_size,
+            D=D,
+        )
+        y = y.reshape(bsz, L, d_inner)
+        return nn.Dense(self.d_model, use_bias=self.bias, name="out_proj")(y)
+
+
+class SSD_LTI(nn.Module):
+    """Pseudo-LTI SSD: constant unit step, input-dependent dt folded into B
+    (ref models/mamba.py:156-299)."""
+
+    d_model: int
+    d_state: int = 64
+    d_conv: int = 4
+    expand: int = 1
+    headdim: int = 32
+    ngroups: int = 1
+    dt_min: float = 0.001
+    dt_max: float = 0.1
+    dt_init_floor: float = 1e-4
+    chunk_size: int = 256
+    bias: bool = False
+    deterministic: bool = True
+
+    @property
+    def d_inner(self):
+        return self.expand * self.d_model
+
+    @property
+    def nheads(self):
+        return self.d_inner // self.headdim
+
+    @nn.compact
+    def __call__(self, u):
+        d_inner, nheads = self.d_inner, self.nheads
+        g, n = self.ngroups, self.d_state
+        conv_dim = d_inner + 2 * g * n
+        assert (n * g) % nheads == 0
+        khead_dim = (n * g) // nheads
+
+        d_in_proj = d_inner + 2 * g * n + g
+        xbcdt = nn.Dense(d_in_proj, use_bias=self.bias, name="in_proj")(u)
+
+        dt_bias = self.param(
+            "dt_bias",
+            lambda rng, shape: _dt_bias_init(
+                rng, shape[0], self.dt_min, self.dt_max, self.dt_init_floor
+            ),
+            (nheads,),
+        )
+        A = self.param(
+            "A",
+            lambda rng, shape: jax.random.uniform(rng, shape, minval=-8.0, maxval=-2.0),
+            (nheads,),
+        )
+        D = self.param("D", nn.initializers.ones, (nheads,))
+
+        xBC = xbcdt[..., :conv_dim]
+        dt = xbcdt[..., conv_dim:]  # (B, L, g) broadcast-added to (nheads,)
+        dt = jax.nn.softplus(dt + dt_bias)  # (B, L, nheads)
+
+        if self.d_conv > 0:
+            xBC = jax.nn.silu(
+                DepthwiseCausalConv(conv_dim, self.d_conv, name="conv1d")(xBC)
+            )
+
+        x = xBC[..., :d_inner]
+        B_mat = xBC[..., d_inner : d_inner + g * n]
+        C_mat = xBC[..., d_inner + g * n :]
+
+        bsz, L = x.shape[0], x.shape[1]
+        # fold the input-dependent step into B; the scan uses β ≡ 1
+        dt_full = jnp.repeat(dt, khead_dim, axis=-1)  # (B, L, g*n)
+        B_mat = dt_full * B_mat
+        beta = jnp.ones((bsz, L, nheads))
+
+        y = ssd_chunked_scan(
+            x.reshape(bsz, L, nheads, self.headdim),
+            beta,
+            -jax.nn.softplus(A),
+            B_mat.reshape(bsz, L, g, n),
+            C_mat.reshape(bsz, L, g, n),
+            chunk_size=self.chunk_size,
+            D=D,
+        )
+        y = y.reshape(bsz, L, d_inner)
+        return nn.Dense(self.d_model, use_bias=self.bias, name="out_proj")(y)
+
+
+class MambaBlock(nn.Module):
+    """Residual block: [norm] → mamba → GELU → [GLU] → residual → [norm]
+    (ref models/mamba.py:301-340)."""
+
+    version: str
+    hidden_dim: int
+    state_dim: int
+    headdim: int
+    conv_dim: int
+    expansion: int
+    dropout: float
+    glu: bool
+    norm: str
+    prenorm: bool
+    pseudoLTI: bool
+    deterministic: bool = True
+
+    def setup(self):
+        if self.version != "mamba2":
+            raise RuntimeError(f"Non supported version {self.version}")
+        cls = SSD_LTI if self.pseudoLTI else SSD
+        self.mamba = cls(
+            d_model=self.hidden_dim,
+            d_state=self.state_dim,
+            d_conv=self.conv_dim,
+            expand=self.expansion,
+            headdim=self.headdim,
+            deterministic=self.deterministic,
+        )
+        self.glu_layer = GLU(deterministic=self.deterministic) if self.glu else None
+        if self.norm != "layer":
+            raise RuntimeError("only layer norm is supported for Mamba blocks")
+        self.norm_layer = nn.LayerNorm()
+        self.drop = nn.Dropout(self.dropout, deterministic=self.deterministic)
+
+    def __call__(self, x):
+        skip = x
+        if self.prenorm:
+            x = self.norm_layer(x)
+        x = self.mamba(x)
+        x = self.drop(nn.gelu(x))
+        if self.glu_layer is not None:
+            x = self.glu_layer(x)
+        x = self.drop(x)
+        x = x + skip
+        if not self.prenorm:
+            x = self.norm_layer(x)
+        return x
+
+
+class Mamba(nn.Module):
+    """Full Mamba model (ref models/mamba.py:342-389); cfg is the reference
+    model-config dict."""
+
+    cfg: Dict[str, Any]
+    deterministic: bool = True
+
+    def setup(self):
+        cfg = self.cfg
+        hidden_dim = cfg["hidden_dim"]
+        headdim = hidden_dim // cfg["num_heads"]
+        self.pooling = cfg["pooling"]
+        self.dual = cfg.get("dual", False)
+
+        if cfg.get("token_embedding", False):
+            self.encoder = TokenEmbeddings(hidden_dim, cfg["vocab_size"], 0)
+        else:
+            self.encoder = nn.Dense(hidden_dim)
+        self.blocks = [
+            MambaBlock(
+                version=cfg["version"],
+                hidden_dim=hidden_dim,
+                state_dim=cfg["state_dim"],
+                headdim=headdim,
+                conv_dim=cfg["conv_dim"],
+                expansion=cfg["expansion"],
+                dropout=cfg["dropout"],
+                glu=cfg["glu"],
+                norm=cfg["norm"],
+                prenorm=cfg["prenorm"],
+                pseudoLTI=cfg.get("pseudoLTI", False),
+                deterministic=self.deterministic,
+            )
+            for _ in range(cfg["num_layers"])
+        ]
+        self.decoder = nn.Dense(cfg["output_dim"])
+        if self.dual:
+            self.match = MATCH(cfg["output_dim"], cfg["output_dim"])
+
+    def __call__(self, x):
+        x = self.encoder(x)
+        for block in self.blocks:
+            x = block(x)
+        if self.pooling == "mean":
+            x = jnp.mean(x, axis=-2)
+        elif self.pooling == "max":
+            x = jnp.max(x, axis=-2)
+        elif self.pooling == "last":
+            x = x[..., -1, :]
+        x = self.decoder(x)
+        if self.dual:
+            x1, x2 = jnp.split(x, 2, axis=0)
+            x = self.match(jnp.concatenate([x1, x2], axis=-1))
+        return x

@@ -1,0 +1,256 @@
+"""Unified training driver for all six model families.
+
+One loop replaces the reference's four (``train_torch`` / ``train_torch_step``
+/ ``train_jax`` / ``train_jax_step``, ref train.py:36-704): every family is a
+flax model with a jitted functional step, so the only remaining axes are
+*step-driven vs epoch-driven* cadence and the optimizer grouping policy.
+Dispatch rules match the reference (ref train.py:745-796):
+
+  * transformer / mamba → AdamW + clip(1.0); step-driven when lang_model
+  * lru / s4 / s5       → {ssm, regular} optax groups; step-driven when
+                          lang_model or (lru ∧ listops); plateau decay
+Early stopping on ``stop_criterion``, warmup→cosine LR, orbax checkpoint
+named ``...-perf{:.3f}`` — all as in the reference.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ExperimentConfig
+from ..models.registry import build_models
+from .checkpoint import save_checkpoint
+from .schedules import PlateauState, reduce_lr_on_plateau, schedule_for_step
+from .state import (
+    create_train_state,
+    create_train_state_adamw,
+    create_train_state_s5,
+)
+from .steps import eval_step, prep_batch, train_step
+from ..utils.logging import RunLogger
+
+
+def _family_norm(model_config: Dict[str, Any], family: str) -> str:
+    # the jitted step only branches on batch-norm (mutable batch_stats)
+    return model_config.get("norm", "layer") if family in ("lru", "s4", "s5") else "layer"
+
+
+def _make_state(config: ExperimentConfig, train_model, integer_inputs: bool):
+    model_config = config.model
+    train_config = config.train
+    family = model_config["layer"]
+    rng = jax.random.PRNGKey(config.seed)
+    init_rng, train_rng = jax.random.split(rng)
+    betas = tuple(train_config.get("betas") or (0.9, 0.999))
+
+    common = dict(
+        rng=init_rng,
+        in_dim=model_config["input_dim"],
+        batch_size=train_config["batch_size"],
+        seq_len=model_config["seq_len"],
+        padded=train_config.get("padded", False),
+        integer_inputs=integer_inputs,
+    )
+    if family in ("lru", "s4", "s5"):
+        factory = create_train_state_s5 if family == "s5" else create_train_state
+        state, counts = factory(
+            train_model,
+            weight_decay=train_config["wd"],
+            norm=model_config.get("norm", "layer"),
+            ssm_lr=train_config.get("ssm_lr", train_config["lr"]),
+            ssm_vars=model_config.get("ssm_lr_vars", []),
+            lr=train_config["lr"],
+            betas=betas,
+            **common,
+        )
+    else:
+        state, counts = create_train_state_adamw(
+            train_model,
+            weight_decay=train_config["wd"],
+            lr=train_config["lr"],
+            betas=betas,
+            param_group=train_config.get("param_group"),
+            group_lr=train_config.get("group_lr", 1e-3),
+            update_step=train_config.get("update_step", 1),
+            **common,
+        )
+    return state, counts, train_rng
+
+
+def _evaluate(state, eval_model, testloader, seq_len, in_dim, lang_model, norm, metrics_fn):
+    losses, perfs = [], []
+    for batch in testloader:
+        inputs, labels = prep_batch(batch, seq_len, in_dim, lang_model)
+        loss, _, logits = eval_step(inputs, labels, state, eval_model, norm)
+        losses.append(loss)
+        perfs.append(metrics_fn(logits, labels))
+    return float(np.mean(jax.device_get(losses))), float(np.mean(jax.device_get(perfs)))
+
+
+def train(
+    config: ExperimentConfig,
+    trainloader,
+    testloader,
+    metrics_fn: Callable,
+    wandb_config: Optional[Dict[str, Any]] = None,
+) -> Tuple[Optional[str], float]:
+    """Train one configuration; returns (checkpoint_path | None, final perf).
+
+    Contract parity with ref train.py:706-803.
+    """
+    model_config = config.model
+    train_config = config.train
+    data_config = config.dataset
+    family = model_config["layer"]
+    lang_model = bool(config.raw.get("lang_model", config.lang_model))
+    seq_len = model_config["seq_len"]
+    in_dim = model_config["input_dim"]
+    norm = _family_norm(model_config, family)
+    padded = train_config.get("padded", False)
+
+    run_name = (
+        f"{(wandb_config or {}).get('name', family)}-dmodel{model_config['hidden_dim']}"
+        f"-seed{config.seed}-num_layers{model_config['num_layers']}"
+        f"-dqk{model_config['state_dim']}-lr{train_config['lr']}"
+    )
+    logger = RunLogger(wandb_config, run_name, config.raw)
+
+    train_model, eval_model, _ = build_models(model_config, padded)
+    integer_inputs = np.issubdtype(np.asarray(trainloader.inputs[:1]).dtype, np.integer)
+    state, (nr_params, nr_encoder), train_rng = _make_state(
+        config, train_model, integer_inputs
+    )
+    print(f"Nr. of parameters: {nr_params} (encoder: {nr_encoder})")
+    logger.log({"params": nr_params, "params without encoder": nr_params - nr_encoder})
+
+    group_names = set(state.opt_state.inner_states.keys())
+    lr = train_config["lr"]
+    ssm_lr = train_config.get("ssm_lr", lr)
+    lr_min = train_config.get("lr_min", 1e-6)
+    cosine = train_config.get("cosine_anneal", True)
+    stop_criterion = train_config.get("stop_criterion")
+    plateau_enabled = "reduce_factor" in train_config
+    plateau = PlateauState(lr, ssm_lr, 0, -np.inf)
+
+    step_driven = family in ("mamba", "transformer") and lang_model or (
+        family in ("lru", "s4", "s5")
+        and (lang_model or (family == "lru" and data_config.get("_name_") == "listops"))
+    )
+
+    if step_driven:
+        total_steps = train_config["total_steps"]
+        eval_every = train_config["eval_every"]
+        warmup = train_config.get("warmup_steps", train_config.get("warmup", 0)) or 0
+    else:
+        steps_per_epoch = max(
+            1, train_config["train_size"] // train_config["batch_size"]
+        )
+        num_epochs = train_config["num_epochs"]
+        total_steps = steps_per_epoch * num_epochs
+        eval_every = steps_per_epoch  # evaluate at epoch boundaries
+        warmup = (train_config.get("warmup", 0) or 0) * steps_per_epoch
+
+    def lrs_for(step_lr: int) -> Dict[str, jax.Array]:
+        lr_now, ssm_lr_now = schedule_for_step(
+            step_lr, warmup, total_steps, cosine, plateau.lr, plateau.ssm_lr, lr_min
+        )
+        lrs = {}
+        if "regular" in group_names:
+            lrs["regular"] = lr_now
+        if "ssm" in group_names:
+            lrs["ssm"] = ssm_lr_now
+        if "group" in group_names:
+            lrs["group"] = train_config.get("group_lr", 1e-3)
+        return lrs
+
+    step = 0
+    running_loss, running_count = 0.0, 0
+    stop_training = False
+    best_perf, best_loss, best_step = -np.inf, np.inf, 0
+    test_perf, test_loss = 0.0, np.inf
+    t_start, steps_timed = time.perf_counter(), 0
+
+    while step < total_steps and not stop_training:
+        for batch in trainloader:
+            if step >= total_steps:
+                break
+            inputs, labels = prep_batch(batch, seq_len, in_dim, lang_model)
+            train_rng, drop_rng = jax.random.split(train_rng)
+            state, loss = train_step(
+                state, drop_rng, inputs, labels, lrs_for(step), train_model, norm
+            )
+            running_loss += float(loss)
+            running_count += 1
+
+            if step % eval_every == 0 and step > 0:
+                train_loss = running_loss / max(running_count, 1)
+                running_loss, running_count = 0.0, 0
+                test_loss, test_perf = _evaluate(
+                    state, eval_model, testloader, seq_len, in_dim,
+                    lang_model, norm, metrics_fn,
+                )
+                elapsed = time.perf_counter() - t_start
+                sps = (step - steps_timed) / max(elapsed, 1e-9)
+                t_start, steps_timed = time.perf_counter(), step
+                print(
+                    f"step {step}: train loss {train_loss:.4f} | test loss "
+                    f"{test_loss:.4f} | test perf {test_perf:.4f} | {sps:.1f} steps/s"
+                )
+                sys.stdout.flush()
+                logger.log(
+                    {
+                        "train loss": train_loss,
+                        "test loss": test_loss,
+                        "test perf": test_perf,
+                        "lr": lrs_for(step).get("regular", lr),
+                        "ssm_lr": lrs_for(step).get("ssm", ssm_lr),
+                        "steps_per_sec": sps,
+                    },
+                    step=step,
+                )
+                if test_perf > best_perf:
+                    best_perf, best_loss, best_step = test_perf, test_loss, step
+                if plateau_enabled:
+                    plateau = reduce_lr_on_plateau(
+                        plateau,
+                        test_perf,
+                        factor=train_config.get("reduce_factor", 0.2),
+                        patience=train_config.get("lr_patience", 20),
+                        lr_min=lr_min,
+                    )
+                if stop_criterion is not None and test_perf > stop_criterion:
+                    print(
+                        f"Stopping: test perf {test_perf:.4f} exceeded "
+                        f"criterion {stop_criterion}"
+                    )
+                    stop_training = True
+                    break
+            step += 1
+
+    # final evaluation if we never hit an eval boundary
+    if np.isinf(test_loss):
+        test_loss, test_perf = _evaluate(
+            state, eval_model, testloader, seq_len, in_dim, lang_model, norm, metrics_fn
+        )
+
+    logger.summary("Best Val Loss", best_loss)
+    logger.summary("Best Val Accuracy", best_perf)
+    logger.summary("Best Step", best_step)
+
+    path = None
+    checkpoint = config.checkpoint_name()
+    if checkpoint is not None:
+        cfg_tree = {"model": dict(model_config), "train": dict(train_config),
+                    "data": dict(data_config)}
+        path = checkpoint + f"-perf{test_perf:0.3f}"
+        save_checkpoint(path, state, cfg_tree)
+
+    logger.finish()
+    return path, test_perf
