@@ -30,7 +30,9 @@ def main():
     from tlie_tpu.data import SequenceDataset
     from tlie_tpu.models.registry import build_models
     from tlie_tpu.training.loop import _make_state
-    from tlie_tpu.training.steps import prep_batch, train_step
+    from tlie_tpu.training.scan_loop import (
+        batch_indices, make_train_block, put_dataset,
+    )
 
     raw = {
         "seed": 1919,
@@ -63,20 +65,26 @@ def main():
     train_model, _, _ = build_models(cfg.model, False)
     state, _, rng = _make_state(cfg, train_model, integer_inputs=True)
 
-    loader = ds.train_dataloader(batch_size=64, shuffle=True)
-    batch = next(iter(loader))
-    inputs, labels = prep_batch(batch, 512, 1, lang_model=True)
-    lrs = {"regular": 0.01}
+    # device-resident dataset + on-device scanned steps (one dispatch per
+    # block) — the framework's production training path
+    data = put_dataset(ds.train_inputs, ds.train_labels)
+    train_block = make_train_block(
+        train_model, "layer", ("regular",), warmup=0,
+        total_steps=10_000, cosine=True, lr_min=1e-6,
+    )
+    nprng = np.random.default_rng(0)
 
+    n_steps = 200
+    idx = batch_indices(nprng, len(ds.train_inputs), 64, n_steps)
     # warm up (compile); float() forces a synchronous host read —
     # block_until_ready does not reliably synchronise through the axon tunnel
-    state, loss = train_step(state, rng, inputs, labels, lrs, train_model, "layer")
+    _, loss = train_block(state, rng, data, idx[:1], 0, 0.01, 0.01)
+    float(loss)
+    state2, loss = train_block(state, rng, data, idx, 0, 0.01, 0.01)
     float(loss)
 
-    n_steps = 50
     t0 = time.perf_counter()
-    for _ in range(n_steps):
-        state, loss = train_step(state, rng, inputs, labels, lrs, train_model, "layer")
+    state2, loss = train_block(state, rng, data, idx, 0, 0.01, 0.01)
     float(loss)
     dt = time.perf_counter() - t0
     sps = n_steps / dt

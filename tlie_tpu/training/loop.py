@@ -177,7 +177,75 @@ def train(
     test_perf, test_loss = 0.0, np.inf
     t_start, steps_timed = time.perf_counter(), 0
 
-    while step < total_steps and not stop_training:
+    # On-device scanned training: the whole split lives in HBM and each
+    # eval period runs as ONE jitted lax.scan dispatch (see scan_loop.py).
+    use_scan = train_config.get("scan_blocks", True) and hasattr(trainloader, "inputs")
+    if use_scan:
+        from .scan_loop import (
+            DeviceData, batch_indices, eval_indices,
+            make_eval_block, make_train_block, put_dataset,
+        )
+
+        train_data = put_dataset(
+            np.asarray(trainloader.inputs), np.asarray(trainloader.labels),
+            np.asarray(trainloader.lengths) if (padded and trainloader.lengths is not None) else None,
+        )
+        test_data = put_dataset(
+            np.asarray(testloader.inputs), np.asarray(testloader.labels),
+            np.asarray(testloader.lengths) if (padded and testloader.lengths is not None) else None,
+        )
+        bsz = train_config["batch_size"]
+        train_block = make_train_block(
+            train_model, norm, tuple(sorted(group_names)),
+            warmup, total_steps, cosine, lr_min,
+            group_lr=train_config.get("group_lr", 1e-3),
+        )
+        eval_block = make_eval_block(eval_model, norm, metrics_fn)
+        eval_idx = eval_indices(len(testloader.inputs), bsz)
+        nprng = np.random.default_rng(config.seed)
+
+        while step < total_steps and not stop_training:
+            k = int(min(eval_every, total_steps - step))
+            idx = batch_indices(nprng, len(trainloader.inputs), bsz, k)
+            train_rng, block_rng = jax.random.split(train_rng)
+            state, train_loss = train_block(
+                state, block_rng, train_data, idx, step, plateau.lr, plateau.ssm_lr
+            )
+            step += k
+            loss_v, perf_v = eval_block(state, test_data, eval_idx)
+            train_loss = float(train_loss)
+            test_loss, test_perf = float(loss_v), float(perf_v)
+            elapsed = time.perf_counter() - t_start
+            sps = (step - steps_timed) / max(elapsed, 1e-9)
+            t_start, steps_timed = time.perf_counter(), step
+            print(
+                f"step {step}: train loss {train_loss:.4f} | test loss "
+                f"{test_loss:.4f} | test perf {test_perf:.4f} | {sps:.1f} steps/s"
+            )
+            sys.stdout.flush()
+            logger.log(
+                {"train loss": train_loss, "test loss": test_loss,
+                 "test perf": test_perf, "steps_per_sec": sps,
+                 "lr": plateau.lr, "ssm_lr": plateau.ssm_lr},
+                step=step,
+            )
+            if test_perf > best_perf:
+                best_perf, best_loss, best_step = test_perf, test_loss, step
+            if plateau_enabled:
+                plateau = reduce_lr_on_plateau(
+                    plateau, test_perf,
+                    factor=train_config.get("reduce_factor", 0.2),
+                    patience=train_config.get("lr_patience", 20),
+                    lr_min=lr_min,
+                )
+            if stop_criterion is not None and test_perf > stop_criterion:
+                print(
+                    f"Stopping: test perf {test_perf:.4f} exceeded "
+                    f"criterion {stop_criterion}"
+                )
+                stop_training = True
+
+    while not use_scan and step < total_steps and not stop_training:
         for batch in trainloader:
             if step >= total_steps:
                 break

@@ -1,0 +1,195 @@
+"""On-device training blocks: lax.scan over many steps per dispatch.
+
+The reference dispatches one optimizer step per host roundtrip
+(ref train.py:87-212); on TPU that leaves the chip idle between RPCs.  Here
+the entire (small) task dataset lives in HBM and a whole eval period of
+training steps runs as ONE jitted ``lax.scan``:
+
+  * batches are gathered from the device-resident dataset by a (K, B)
+    index matrix drawn on host per block;
+  * the learning-rate schedule is evaluated inside the graph (traced
+    ``jnp.where`` warmup→cosine), with the plateau-decayed base rates as
+    dynamic scalars;
+  * dropout keys are folded from the step counter.
+
+Evaluation is likewise one scanned dispatch over the test set.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .state import set_group_learning_rates
+from .steps import cross_entropy_loss
+
+
+class DeviceData(NamedTuple):
+    inputs: jax.Array        # (N, L) tokens or (N, L, D) features
+    labels: jax.Array        # (N,) or (N, L)
+    lengths: Optional[jax.Array] = None  # (N,) for padded tasks
+
+
+def put_dataset(
+    inputs: np.ndarray,
+    labels: np.ndarray,
+    lengths: Optional[np.ndarray] = None,
+    sharding=None,
+) -> DeviceData:
+    """Move a whole split to device (once)."""
+
+    def _put(x):
+        if x is None:
+            return None
+        x = x.astype(np.int32) if np.issubdtype(x.dtype, np.integer) else x.astype(np.float32)
+        return jax.device_put(x, sharding) if sharding is not None else jnp.asarray(x)
+
+    return DeviceData(_put(inputs), _put(labels), _put(lengths))
+
+
+def _traced_lr(step, base_lr, warmup: int, total: int, cosine: bool, lr_min: float):
+    """Warmup→cosine/constant schedule, branch-free for use inside lax.scan
+    (same formulas as training.schedules / ref train_helpers.py:16-29)."""
+    step = step.astype(jnp.float32)
+    warm = base_lr * (step + 1) / jnp.maximum(warmup, 1)
+    if cosine:
+        end = max(total - warmup, 1)
+        count = jnp.minimum(step, end)
+        decay = 0.5 * (1 + jnp.cos(jnp.pi * count / end))
+        after = (base_lr - lr_min) * decay + lr_min
+    else:
+        after = base_lr * jnp.ones_like(step)
+    return jnp.where(step < warmup, warm, after)
+
+
+def _gather_batch(data: DeviceData, idx_t):
+    x = jnp.take(data.inputs, idx_t, axis=0)
+    y = jnp.take(data.labels, idx_t, axis=0)
+    if data.lengths is not None:
+        x = (x, jnp.take(data.lengths, idx_t, axis=0))
+    return x, y
+
+
+def make_train_block(
+    model,
+    norm: str,
+    group_names: Tuple[str, ...],
+    warmup: int,
+    total_steps: int,
+    cosine: bool,
+    lr_min: float,
+    group_lr: float = 1e-3,
+):
+    """Build a jitted runner for K on-device training steps.
+
+    Returned callable: (state, rng, DeviceData, idx (K, B), step0, lr, ssm_lr)
+    → (state, mean_loss).
+    """
+
+    @jax.jit
+    def run_block(state, rng, data: DeviceData, idx, step0, lr, ssm_lr):
+        def step_body(carry, idx_t):
+            state, step = carry
+            x, y = _gather_batch(data, idx_t)
+
+            lrs = {}
+            if "regular" in group_names:
+                lrs["regular"] = _traced_lr(step, lr, warmup, total_steps, cosine, lr_min)
+            if "ssm" in group_names:
+                lrs["ssm"] = _traced_lr(step, ssm_lr, warmup, total_steps, cosine, lr_min)
+            if "group" in group_names:
+                lrs["group"] = jnp.asarray(group_lr, jnp.float32)
+
+            state = state.replace(
+                opt_state=set_group_learning_rates(state.opt_state, lrs)
+            )
+            drop_rng = jax.random.fold_in(rng, step)
+
+            def _loss(params):
+                if norm == "batch":
+                    p = {"params": params, "batch_stats": state.batch_stats}
+                    logits, updates = model.apply(
+                        p, x, rngs={"dropout": drop_rng}, mutable=["batch_stats"]
+                    )
+                else:
+                    logits = model.apply(
+                        {"params": params}, x, rngs={"dropout": drop_rng}
+                    )
+                    updates = None
+                return cross_entropy_loss(logits, y), updates
+
+            (loss, updates), grads = jax.value_and_grad(_loss, has_aux=True)(
+                state.params
+            )
+            if norm == "batch":
+                state = state.apply_gradients(
+                    grads=grads, batch_stats=updates["batch_stats"]
+                )
+            else:
+                state = state.apply_gradients(grads=grads)
+            return (state, step + 1), loss
+
+        (state, _), losses = jax.lax.scan(step_body, (state, step0), idx)
+        return state, jnp.mean(losses)
+
+    def call(state, rng, data: DeviceData, idx, step0: int, lr: float, ssm_lr: float):
+        return run_block(
+            state, rng, data,
+            jnp.asarray(idx, jnp.int32), jnp.asarray(step0, jnp.int32),
+            jnp.asarray(lr, jnp.float32), jnp.asarray(ssm_lr, jnp.float32),
+        )
+
+    return call
+
+
+def make_eval_block(model, norm: str, metrics_fn: Callable):
+    """Build a jitted scanned evaluation over (n_batches, B)-indexed test
+    data → (mean_loss, mean_metric)."""
+
+    @jax.jit
+    def run_eval(state, data: DeviceData, idx):
+        def eval_body(_, idx_t):
+            x, y = _gather_batch(data, idx_t)
+            if norm == "batch":
+                logits = model.apply(
+                    {"params": state.params, "batch_stats": state.batch_stats}, x
+                )
+            else:
+                logits = model.apply({"params": state.params}, x)
+            return None, (cross_entropy_loss(logits, y), metrics_fn(logits, y))
+
+        _, (losses, metrics) = jax.lax.scan(eval_body, None, idx)
+        return jnp.mean(losses), jnp.mean(metrics)
+
+    def call(state, data: DeviceData, idx):
+        return run_eval(state, data, jnp.asarray(idx, jnp.int32))
+
+    return call
+
+
+def batch_indices(
+    rng: np.random.Generator, n: int, batch_size: int, k_steps: int
+) -> np.ndarray:
+    """(k_steps, batch_size) sample indices: epoch-shuffled without
+    replacement, re-permuted across epoch boundaries."""
+    out = np.empty((k_steps, batch_size), dtype=np.int32)
+    produced = 0
+    while produced < k_steps:
+        order = rng.permutation(n)
+        n_batches = n // batch_size
+        take = min(n_batches, k_steps - produced)
+        out[produced : produced + take] = order[: take * batch_size].reshape(
+            take, batch_size
+        )
+        produced += take
+    return out
+
+
+def eval_indices(n: int, batch_size: int) -> np.ndarray:
+    n_batches = max(1, n // batch_size)
+    return np.arange(n_batches * batch_size, dtype=np.int32).reshape(
+        n_batches, batch_size
+    )
