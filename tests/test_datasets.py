@@ -1,0 +1,150 @@
+"""Dataset-layer tests: generators, tokenization, chunking, permutations."""
+
+import numpy as np
+import pytest
+
+from tlie_tpu.data import CIFAR10, IMDB, ListOps, WikiText
+from tlie_tpu.data.listops import (
+    generate_listops_example,
+    generate_listops_split,
+    listops_tokenizer,
+)
+from tlie_tpu.data.permutations import (
+    bitreversal_permutation,
+    hilbert_permutation,
+    snake_permutation,
+    transpose_permutation,
+)
+
+
+# ------------------------------------------------------------- ListOps
+
+
+def test_listops_generator_values_are_correct():
+    """Expression value must equal an independent recursive evaluation."""
+    rng = np.random.default_rng(0)
+
+    def evaluate(tokens, pos=0):
+        tok = tokens[pos]
+        if tok.startswith("["):
+            op = tok[1:]
+            vals = []
+            pos += 1
+            while tokens[pos] != "]":
+                v, pos = evaluate(tokens, pos)
+                vals.append(v)
+            pos += 1  # skip ]
+            if op == "MIN":
+                return min(vals), pos
+            if op == "MAX":
+                return max(vals), pos
+            if op == "MED":
+                return int(np.median(vals)), pos
+            if op == "SM":
+                return sum(vals) % 10, pos
+        return int(tok), pos + 1
+
+    from tlie_tpu.data.listops import generate_listops_by_growth
+
+    for _ in range(30):
+        s, v = generate_listops_by_growth(rng, target_tokens=60, max_depth=4, max_args=4)
+        val, _ = evaluate(s.split())
+        assert val == v
+    # the rejection-style generator agrees too (small trees)
+    for _ in range(30):
+        out = generate_listops_example(rng, max_depth=3, max_args=3, max_tokens=500)
+        if out is None:
+            continue
+        s, v = out
+        val, _ = evaluate(s.split())
+        assert val == v
+
+
+def test_listops_tokenizer_lra_convention():
+    s = "[MAX 2 9 [MIN 4 7 ] 0 ]"
+    toks = listops_tokenizer(s)
+    assert toks == ["[MAX", "2", "9", "[MIN", "4", "7", "X", "0", "X"]
+
+
+def test_listops_dataset_setup():
+    ds = ListOps(
+        l_max=256, num_train=64, num_test=16, min_length=8, max_length=200,
+        seed=0,
+    )
+    ds.setup()
+    assert ds.train_inputs.shape == (64, 256)
+    assert ds.test_labels.shape == (16,)
+    assert set(np.unique(ds.train_labels)) <= set(range(10))
+    assert ds.vocab_size <= 20  # ~18 tokens like the LRA vocab
+    assert ds.train_lengths.max() <= 256
+
+
+# ------------------------------------------------------------- permutations
+
+
+def test_permutations_are_permutations():
+    for perm in (
+        bitreversal_permutation(64),
+        snake_permutation(8, 8),
+        transpose_permutation(8, 8),
+        hilbert_permutation(8),
+    ):
+        assert sorted(perm.tolist()) == list(range(64))
+
+
+def test_hilbert_is_neighbor_continuous():
+    """Consecutive Hilbert-curve points are grid neighbours."""
+    side = 16
+    perm = hilbert_permutation(side)
+    ys, xs = np.divmod(perm, side)
+    d = np.abs(np.diff(xs)) + np.abs(np.diff(ys))
+    assert (d == 1).all()
+
+
+# ------------------------------------------------------------- CIFAR / MNIST
+
+
+def test_cifar_synthetic_pipeline():
+    ds = CIFAR10(grayscale=True, synthetic=True, synthetic_train=32, synthetic_test=8)
+    ds.setup()
+    assert ds.train_inputs.shape == (32, 1024, 1)
+    assert abs(float(ds.train_inputs.mean())) < 1.0  # normalised
+    ds_tok = CIFAR10(
+        grayscale=True, tokenize=True, synthetic=True,
+        synthetic_train=8, synthetic_test=4,
+    )
+    ds_tok.setup()
+    assert ds_tok.train_inputs.dtype == np.int64
+    assert ds_tok.train_inputs.max() <= 255
+
+
+# ------------------------------------------------------------- WikiText
+
+
+def test_wikitext_chunking_and_label_shift():
+    ds = WikiText(
+        synthetic=True, block_size=64,
+        synthetic_train_tokens=10_000, synthetic_test_tokens=1_000,
+    )
+    ds.setup()
+    assert ds.train_inputs.shape[1] == 64
+    # labels are next-token shifted with a −100 tail (ref wikitext.py:139-149)
+    np.testing.assert_array_equal(ds.train_labels[:, :-1], ds.train_inputs[:, 1:])
+    assert (ds.train_labels[:, -1] == -100).all()
+    assert ds.d_output == 50257
+
+
+# ------------------------------------------------------------- IMDB
+
+
+def test_imdb_synthetic_char_pipeline():
+    ds = IMDB(synthetic=True, synthetic_train=64, synthetic_test=16,
+              l_max=512, min_freq=1)
+    ds.setup()
+    assert ds.train_inputs.shape == (64, 512)
+    assert set(np.unique(ds.train_labels)) <= {0, 1}
+    assert ds.pad_id == 0
+    # eos appended at position length-1
+    i = 0
+    L = int(ds.train_lengths[i])
+    assert ds.train_inputs[i, L - 1] == ds.vocab["<eos>"]

@@ -18,15 +18,9 @@ __all__ = [
 ]
 
 
-def _register_optional():
-    """Import optional dataset modules; each registers itself."""
-    from . import cifar  # noqa: F401
-    from . import listops  # noqa: F401
-    from . import wikitext  # noqa: F401
-    from . import imdb  # noqa: F401
+from .cifar import CIFAR10, MNIST  # noqa: E402
+from .listops import ListOps  # noqa: E402
+from .wikitext import WikiText  # noqa: E402
+from .imdb import IMDB  # noqa: E402
 
-
-try:
-    _register_optional()
-except ImportError:
-    pass
+__all__ += ["CIFAR10", "MNIST", "ListOps", "WikiText", "IMDB"]

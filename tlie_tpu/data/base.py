@@ -114,15 +114,12 @@ class SequenceDataset:
         self.test_lengths: Optional[np.ndarray] = None
 
     # -- required interface -------------------------------------------------
+    #: subclasses must provide l_max (max sequence length) and d_output
+    #: (number of classes / vocab) as attributes or properties
+    l_max: int = None  # type: ignore[assignment]
+    d_output: int = None  # type: ignore[assignment]
+
     def setup(self) -> None:
-        raise NotImplementedError
-
-    @property
-    def l_max(self) -> int:
-        raise NotImplementedError
-
-    @property
-    def d_output(self) -> int:
         raise NotImplementedError
 
     def get_metrics(self, layer: str = "s4"):

