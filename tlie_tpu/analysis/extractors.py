@@ -47,28 +47,35 @@ def _project_qk(x, kernel, bias, d_qk, num_heads):
     return qkv
 
 
-def eig_att_softmax(x, wqkv_kernel, wqkv_bias, d_qk: int, d_model: int, num_heads: int):
-    """η_t for softmax attention (ref eval_eig.py:43-95).
+def eta_softmax_from_qk(q: jax.Array, k: jax.Array) -> jax.Array:
+    """η_t of the softmax-attention normalizer recurrence from projected
+    q, k heads (B, L, H, D) → (B, L−1, H).
 
-    The implicit normalizer recurrence ν_{t+1} = η·ν_t has
     η_t = ν_t/ν_{t+1} with ν_t = Σ_s exp(masked score[t, s]); the masked
-    score is q_t·k_s for s ≤ t and 0 beyond (the reference zeroes, not
-    −inf — reproduced exactly).  Returns (B, L−1, H) real.
+    score is q_t·k_s for s ≤ t and 0 beyond (the reference zeroes instead of
+    −inf — reproduced exactly; ref eval_eig.py:43-95 and the lm_eigvals
+    notebook's get_eig_from_qkv_att_softmax).  Computed on device in fp32
+    with the reference's max-rescaling (an exact stabilised sum-exp ratio).
     """
-    B, L, _ = x.shape
-    head_dim = d_qk // num_heads
-    qkv = _project_qk(x, wqkv_kernel, wqkv_bias, d_qk, num_heads)
-    q = qkv[..., :d_qk].reshape(B, L, num_heads, head_dim)
-    k = qkv[..., d_qk : 2 * d_qk].reshape(B, L, num_heads, head_dim)
-
+    L = q.shape[1]
     scores = jnp.einsum("bthd,bshd->btsh", q, k, precision=_HI)
     causal = jnp.tril(jnp.ones((L, L), dtype=bool))[None, :, :, None]
     scores = jnp.where(causal, scores, 0.0)
 
     m = jnp.max(scores, axis=2)  # (B, L, H) — includes the zeros, as in ref
     se = jnp.sum(jnp.exp(scores - m[:, :, None, :]), axis=2)  # (B, L, H)
-    eta = (se[:, :-1] / se[:, 1:]) * jnp.exp(m[:, :-1] - m[:, 1:])
-    return eta
+    return (se[:, :-1] / se[:, 1:]) * jnp.exp(m[:, :-1] - m[:, 1:])
+
+
+def eig_att_softmax(x, wqkv_kernel, wqkv_bias, d_qk: int, d_model: int, num_heads: int):
+    """η_t for softmax attention recomputed from the fused Wqkv projection
+    (ref eval_eig.py:43-95).  Returns (B, L−1, H) real."""
+    B, L, _ = x.shape
+    head_dim = d_qk // num_heads
+    qkv = _project_qk(x, wqkv_kernel, wqkv_bias, d_qk, num_heads)
+    q = qkv[..., :d_qk].reshape(B, L, num_heads, head_dim)
+    k = qkv[..., d_qk : 2 * d_qk].reshape(B, L, num_heads, head_dim)
+    return eta_softmax_from_qk(q, k)
 
 
 def eig_att_linear(x, wqkv_kernel, wqkv_bias, d_qk: int, d_model: int, num_heads: int):

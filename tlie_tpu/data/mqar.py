@@ -106,6 +106,30 @@ class MQAR(SequenceDataset):
         return masked_accuracy
 
     def setup(self) -> None:
+        if getattr(self, "use_native", True):
+            from ..native import mqar_generate_native
+
+            native = mqar_generate_native(
+                vocab_size=self.vocab_size,
+                num_examples=self.num_train_examples,
+                input_seq_len=self.input_seq_length,
+                seed=self.seed,
+                power_a=self.train_power_a,
+                num_kv_pairs=self.num_kv_pairs,
+                random_non_queries=self.random_non_queries,
+            )
+            if native is not None:
+                self.train_inputs, self.train_labels = native
+                self.test_inputs, self.test_labels = mqar_generate_native(
+                    vocab_size=self.vocab_size,
+                    num_examples=self.num_test_examples,
+                    input_seq_len=self.input_seq_length,
+                    seed=self.seed + 1,
+                    power_a=self.test_power_a,
+                    num_kv_pairs=self.num_kv_pairs,
+                    random_non_queries=self.random_non_queries,
+                )
+                return
         self.train_inputs, self.train_labels = multiquery_ar(
             vocab_size=self.vocab_size,
             num_examples=self.num_train_examples,

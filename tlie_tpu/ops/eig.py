@@ -29,11 +29,13 @@ def _host_eigvals(re: np.ndarray, im: np.ndarray) -> Tuple[np.ndarray, np.ndarra
 
 def eigvals_pair(m: cplx.Pair) -> Tuple[jax.Array, jax.Array]:
     """Eigenvalues of a complex matrix given as an (re, im) pair of (..., N, N)
-    real arrays; returns an (re, im) pair of (..., N) arrays (unordered)."""
-    re, im = m
-    n = re.shape[-1]
-    out_shape = (
-        jax.ShapeDtypeStruct(re.shape[:-1], jnp.float32),
-        jax.ShapeDtypeStruct(re.shape[:-1], jnp.float32),
-    )
-    return jax.pure_callback(_host_eigvals, out_shape, re, im, vmap_method="sequential")
+    real arrays; returns an (re, im) pair of (..., N) arrays (unordered).
+
+    Explicit host hop (device_get → LAPACK → device): the axon TPU runtime
+    does not support ``jax.pure_callback`` at all, so this function must be
+    called outside jit — which the analysis pipeline does (one tiny matrix
+    per layer, exactly the reference's own host eig at eval_eig.py:296)."""
+    re = np.asarray(jax.device_get(m[0]))
+    im = np.asarray(jax.device_get(m[1]))
+    w_re, w_im = _host_eigvals(re, im)
+    return jnp.asarray(w_re), jnp.asarray(w_im)
