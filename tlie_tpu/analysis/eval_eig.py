@@ -152,7 +152,7 @@ def _ssm_layer_params(params) -> list:
     return layers
 
 
-def _extract_ssm_family(layer_list, model_config) -> np.ndarray:
+def _extract_ssm_family(layer_list, model_config, eig_impl: str = "host") -> np.ndarray:
     """Per-layer complex spectra for lru/s4/s5 → complex128 (N, layers)."""
     family = model_config["layer"]
     seq_len = model_config["seq_len"]
@@ -163,7 +163,7 @@ def _extract_ssm_family(layer_list, model_config) -> np.ndarray:
         elif family == "s5":
             re, im = eig_s5(lp)
         elif family == "s4":
-            re, im = eig_s4(lp, idx=1, seq_len=seq_len)  # channel idx per ref :689
+            re, im = eig_s4(lp, idx=1, seq_len=seq_len, eig_impl=eig_impl)  # channel idx per ref :689
         else:
             raise RuntimeError(f"unsupported ssm family {family}")
         lam = np.asarray(jax.device_get(re)) + 1j * np.asarray(jax.device_get(im))
@@ -256,12 +256,13 @@ def eval_eig(
     elif family in ("lru", "s4", "s5"):
         batch_size = conf_args["batch_size"]
         sample = jnp.ones((batch_size, model_config["seq_len"], model_config["input_dim"]))
+        eig_impl = conf_args.get("eig_impl", "host")
         model, init_p = _init_params(model_config, batch_size, seed, family, sample)
-        eig_init = _extract_ssm_family(_ssm_layer_params(init_p), model_config)
+        eig_init = _extract_ssm_family(_ssm_layer_params(init_p), model_config, eig_impl)
 
         restored = restore_checkpoint(path)
         trained_layers = _ssm_layer_params(restored["model"]["params"])
-        eig = _extract_ssm_family(trained_layers, model_config)
+        eig = _extract_ssm_family(trained_layers, model_config, eig_impl)
 
         rad_init = np.abs(eig_init)
         rad = np.abs(eig)

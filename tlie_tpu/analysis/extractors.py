@@ -160,11 +160,12 @@ def _pair_from_param(p) -> Tuple[jax.Array, jax.Array]:
 
 
 def eig_s4(
-    layer_params: Dict[str, Any], idx: int, seq_len: int,
+    layer_params: Dict[str, Any], idx: int, seq_len: int, eig_impl: str = "host",
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Eigenvalues of the dense discretized DPLR Ā at channel ``idx``
     (ref eval_eig.py:281-301): discretize on device in pair arithmetic,
-    eigendecompose via ops.eig."""
+    eigendecompose via ops.eig (host LAPACK for reference parity, or the
+    native on-device QR solver with eig_impl='device')."""
     from ..ops.eig import eigvals_pair
 
     step = jnp.exp(jnp.asarray(layer_params["log_step"])[0, idx])
@@ -180,4 +181,4 @@ def eig_s4(
     c = (c_arr[:, idx, 0], c_arr[:, idx, 1])
 
     ab, _, _ = discrete_dplr(lam, p, p, b, c, step, seq_len)
-    return eigvals_pair(ab)
+    return eigvals_pair(ab, impl=eig_impl)

@@ -27,14 +27,30 @@ def _host_eigvals(re: np.ndarray, im: np.ndarray) -> Tuple[np.ndarray, np.ndarra
     return w.real.astype(np.float32), w.imag.astype(np.float32)
 
 
-def eigvals_pair(m: cplx.Pair) -> Tuple[jax.Array, jax.Array]:
+def eigvals_pair(m: cplx.Pair, impl: str = "host") -> Tuple[jax.Array, jax.Array]:
     """Eigenvalues of a complex matrix given as an (re, im) pair of (..., N, N)
     real arrays; returns an (re, im) pair of (..., N) arrays (unordered).
 
-    Explicit host hop (device_get → LAPACK → device): the axon TPU runtime
-    does not support ``jax.pure_callback`` at all, so this function must be
-    called outside jit — which the analysis pipeline does (one tiny matrix
-    per layer, exactly the reference's own host eig at eval_eig.py:296)."""
+    impl="host": explicit host hop (device_get → LAPACK → device) — the axon
+    TPU runtime does not support ``jax.pure_callback`` at all, so this path
+    must be called outside jit, which the analysis pipeline does (one tiny
+    matrix per layer, exactly the reference's own host eig at
+    eval_eig.py:296).  Bit-parity with the reference.
+
+    impl="device": native on-device Hessenberg+shifted-QR (see
+    ``eig_device.py``) — jit/vmap-able, batches many layers/checkpoints.
+    Note the S4 Ā spectra are intrinsically ill-conditioned (eigenvector
+    condition ~1e15), so individual eigenvalues can differ from LAPACK by
+    more than fp tolerance while the radius/phase histograms the analysis
+    consumes agree exactly (verified in tests).
+    """
+    if impl == "device":
+        from .eig_device import eigvals_pair_device
+
+        fn = eigvals_pair_device
+        for _ in range(m[0].ndim - 2):
+            fn = jax.vmap(fn)
+        return fn(m)
     re = np.asarray(jax.device_get(m[0]))
     im = np.asarray(jax.device_get(m[1]))
     w_re, w_im = _host_eigvals(re, im)
