@@ -148,3 +148,43 @@ def test_imdb_synthetic_char_pipeline():
     i = 0
     L = int(ds.train_lengths[i])
     assert ds.train_inputs[i, L - 1] == ds.vocab["<eos>"]
+
+
+# ------------------------------------------------------------- AAN / PathFinder
+
+
+def test_aan_synthetic_pair_pipeline_and_dual_model():
+    import jax
+    import jax.numpy as jnp
+    from tlie_tpu.data import AAN
+    from tlie_tpu.models.transformer import Transformer
+    from tlie_tpu.utils.freeze import freeze_config
+
+    ds = AAN(synthetic=True, synthetic_train=32, synthetic_test=8, l_max=128)
+    ds.setup()
+    assert ds.train_inputs.shape == (32, 2, 128)
+    cfg = freeze_config({
+        "input_dim": 1, "output_dim": 2, "layer": "transformer",
+        "attention_fn": "lin-attention", "use_flash": False,
+        "num_layers": 1, "hidden_dim": 16, "state_dim": 16, "num_heads": 1,
+        "att_dropout": 0.0, "norm": "layer", "embedding": True,
+        "vocab_size": ds.vocab_size, "max_pos_embed": 128,
+        "mixer": "none", "mixer_dim": 16, "dropout": 0.0,
+        "classifier": True, "pooling": "mean", "dual": True,
+    })
+    model = Transformer(cfg=cfg, deterministic=True)
+    x = jnp.asarray(ds.train_inputs[:4])
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x)
+    logits = model.apply(variables, x)
+    assert logits.shape == (4, 2)  # pair folded into batch, MATCH-combined
+
+
+def test_pathfinder_synthetic_pipeline():
+    from tlie_tpu.data import PathFinder
+
+    ds = PathFinder(synthetic=True, synthetic_train=16, synthetic_test=8)
+    ds.setup()
+    assert ds.train_inputs.shape == (16, 1024, 1)
+    assert set(np.unique(ds.train_labels)) <= {0, 1}
+    # centered pixels
+    assert ds.train_inputs.min() >= -0.5 and ds.train_inputs.max() <= 0.5

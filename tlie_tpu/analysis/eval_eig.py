@@ -27,8 +27,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.registry import build_models
-from ..training.checkpoint import restore_checkpoint
 from ..training.steps import prep_batch
+from .compat import load_params_any
 from .artifacts import (
     artifact_name,
     save_artifacts,
@@ -211,8 +211,7 @@ def eval_eig(
         model, init_p = _init_params(model_config, len(X), seed, family, inputs)
         eig_init = _extract_attention_family(model, init_p, inputs, model_config)
 
-        restored = restore_checkpoint(path)
-        trained_p = restored["model"]["params"]
+        trained_p = load_params_any(path, model_config)
         eig = _extract_attention_family(model, trained_p, inputs, model_config)
 
         batch_size = eig.shape[0]
@@ -260,8 +259,7 @@ def eval_eig(
         model, init_p = _init_params(model_config, batch_size, seed, family, sample)
         eig_init = _extract_ssm_family(_ssm_layer_params(init_p), model_config, eig_impl)
 
-        restored = restore_checkpoint(path)
-        trained_layers = _ssm_layer_params(restored["model"]["params"])
+        trained_layers = _ssm_layer_params(load_params_any(path, model_config))
         eig = _extract_ssm_family(trained_layers, model_config, eig_impl)
 
         rad_init = np.abs(eig_init)

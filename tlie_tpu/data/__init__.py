@@ -22,5 +22,7 @@ from .cifar import CIFAR10, MNIST  # noqa: E402
 from .listops import ListOps  # noqa: E402
 from .wikitext import WikiText  # noqa: E402
 from .imdb import IMDB  # noqa: E402
+from .aan import AAN  # noqa: E402
+from .pathfinder import PathFinder  # noqa: E402
 
-__all__ += ["CIFAR10", "MNIST", "ListOps", "WikiText", "IMDB"]
+__all__ += ["CIFAR10", "MNIST", "ListOps", "WikiText", "IMDB", "AAN", "PathFinder"]

@@ -284,6 +284,8 @@ class Mamba(nn.Module):
             self.match = MATCH(cfg["output_dim"], cfg["output_dim"])
 
     def __call__(self, x):
+        if self.dual and x.ndim == 3 and jnp.issubdtype(x.dtype, jnp.integer):
+            x = jnp.concatenate([x[:, 0], x[:, 1]], axis=0)
         x = self.encoder(x)
         for block in self.blocks:
             x = block(x)

@@ -157,12 +157,11 @@ class Transformer(nn.Module):
         self.drop = nn.Dropout(cfg["dropout"], deterministic=self.deterministic)
 
     def __call__(self, x):
-        if not isinstance(self.encoder, TokenEmbeddings) and not jnp.issubdtype(
-            x.dtype, jnp.integer
-        ):
-            x = self.encoder(x)
-        else:
-            x = self.encoder(x)
+        if self.dual and x.ndim == 3 and jnp.issubdtype(x.dtype, jnp.integer):
+            # retrieval pairs arrive as (B, 2, L): fold the pair axis into
+            # the batch (the reference feeds a 2B batch, ref train/AAN collate)
+            x = jnp.concatenate([x[:, 0], x[:, 1]], axis=0)
+        x = self.encoder(x)
         x = self.drop(x)
         for layer in self.layers:
             x = layer(x)
