@@ -132,6 +132,18 @@ class CIFAR10(SequenceDataset):
         else:
             tr_x, tr_y, te_x, te_y = loaded
 
+        if self.augment:
+            # one vectorised stochastic pass over the training split
+            # (deviation: the reference redraws per epoch in DataLoader
+            # workers; the scanned trainer consumes a fixed device-resident
+            # epoch — call setup() again to redraw)
+            from .augmentations import cutout, random_crop, random_hflip
+
+            rng = np.random.default_rng(self.seed + 7)
+            tr_x = random_hflip(random_crop(tr_x, rng), rng)
+            if self.cutout:
+                tr_x = cutout(tr_x, rng, n_holes=1, length=16)
+
         self.train_inputs = self._preprocess(tr_x)
         self.train_labels = tr_y
         self.test_inputs = self._preprocess(te_x)

@@ -232,13 +232,18 @@ def _run_group(
 
     # vmap over the grid axis: per-point state and learning rates, shared data
     eval_idx_arr = jnp.asarray(eval_indices(len(dataset.test_inputs), bsz))
+    # data/test are explicit broadcast arguments (in_axes=None): closing over
+    # them would bake the whole dataset into the serialized program as
+    # constants (hundreds of MB through the remote-compile channel)
     vblock = jax.jit(
         jax.vmap(
-            lambda st, rng, idx, step0, lr, slr: block(st, rng, data, idx, step0, lr, slr),
-            in_axes=(0, 0, None, None, 0, 0),
+            lambda st, rng, d, idx, step0, lr, slr: block(st, rng, d, idx, step0, lr, slr),
+            in_axes=(0, 0, None, None, None, 0, 0),
         )
     )
-    veval = jax.jit(jax.vmap(lambda st: evaluator(st, test, eval_idx_arr)))
+    veval = jax.jit(
+        jax.vmap(lambda st, t, ei: evaluator(st, t, ei), in_axes=(0, None, None))
+    )
 
     nprng = np.random.default_rng(base.seed)
     rngs = jax.vmap(jax.random.PRNGKey)(jnp.arange(g, dtype=jnp.uint32))
@@ -256,9 +261,11 @@ def _run_group(
         # frozen points step with lr 0: parameters stay fixed
         eff_lr = jnp.where(jnp.asarray(active), lrs, 0.0)
         eff_slr = jnp.where(jnp.asarray(active), ssm_lrs, 0.0)
-        state, train_loss = vblock(state, rngs, idx, jnp.asarray(step), eff_lr, eff_slr)
+        state, train_loss = vblock(
+            state, rngs, data, idx, jnp.asarray(step), eff_lr, eff_slr
+        )
         step += k
-        losses, perf_now = veval(state)
+        losses, perf_now = veval(state, test, eval_idx_arr)
         perf_now = np.asarray(perf_now)
         perfs = np.where(active, perf_now, perfs)
         if stop_criterion is not None:

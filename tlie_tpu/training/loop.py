@@ -223,12 +223,17 @@ def train(
                 f"{test_loss:.4f} | test perf {test_perf:.4f} | {sps:.1f} steps/s"
             )
             sys.stdout.flush()
-            logger.log(
-                {"train loss": train_loss, "test loss": test_loss,
-                 "test perf": test_perf, "steps_per_sec": sps,
-                 "lr": plateau.lr, "ssm_lr": plateau.ssm_lr},
-                step=step,
-            )
+            metrics = {"train loss": train_loss, "test loss": test_loss,
+                       "test perf": test_perf, "steps_per_sec": sps,
+                       "lr": plateau.lr, "ssm_lr": plateau.ssm_lr}
+            if model_config.get("mixer") == "hybrid":
+                # learned convex-combination weights (ref train.py:352-367)
+                for i in range(model_config["num_layers"]):
+                    alpha = state.params[f"layers_{i}"]["mixer"]["alpha"]
+                    metrics[f"mixer_alpha_{i}"] = float(
+                        jax.nn.sigmoid(jnp.asarray(alpha))[0]
+                    )
+            logger.log(metrics, step=step)
             if test_perf > best_perf:
                 best_perf, best_loss, best_step = test_perf, test_loss, step
             if plateau_enabled:

@@ -66,8 +66,11 @@ def _build_state(model, variables, tx, norm) -> Tuple[TrainState, Tuple[int, int
     batch_stats = variables.get("batch_stats")
     nr_params = _count_params(params)
     encoder_params = params.get("encoder", {})
-    if hasattr(encoder_params, "get"):
-        encoder_params = encoder_params.get("encoder", encoder_params.get("embedding", {}))
+    if hasattr(encoder_params, "get") and "encoder" in encoder_params:
+        # SSM backbone nests the Dense under encoder/encoder (ref counts that,
+        # jax_helpers/train_helpers.py:122); attention families count the
+        # whole embedding module (ref train.py:49)
+        encoder_params = encoder_params["encoder"]
     nr_encoder = _count_params(encoder_params)
     state = TrainState.create(
         apply_fn=model.apply, params=params, tx=tx, batch_stats=batch_stats
