@@ -1,0 +1,116 @@
+"""Training-layer unit tests: schedules, plateau decay, LR injection,
+optimizer grouping — parity with the reference formulas."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from tlie_tpu.training.schedules import (
+    PlateauState,
+    constant_lr,
+    cosine_annealing,
+    linear_warmup,
+    reduce_lr_on_plateau,
+    schedule_for_step,
+)
+from tlie_tpu.training.scan_loop import _traced_lr, batch_indices, eval_indices
+from tlie_tpu.training.state import map_nested_fn, set_group_learning_rates
+from tlie_tpu.training.steps import compute_accuracy, cross_entropy_loss
+
+
+def test_schedule_formulas_match_reference():
+    """Formulas at jax_helpers/train_helpers.py:16-29."""
+    assert linear_warmup(9, 1.0, 100) == pytest.approx(0.1)
+    # cosine: (base−min)·0.5(1+cos(π·t/T)) + min
+    v = cosine_annealing(50, 1.0, 100, lr_min=1e-6)
+    assert v == pytest.approx((1.0 - 1e-6) * 0.5 + 1e-6, rel=1e-5)
+    assert float(cosine_annealing(100, 1.0, 100, 1e-6)) == pytest.approx(1e-6, abs=1e-8)
+    assert constant_lr(123, 0.3, None) == 0.3
+
+
+def test_traced_lr_matches_host_schedule():
+    """The in-graph schedule used by scanned blocks must equal the host one."""
+    for step in (0, 5, 49, 50, 120, 400):
+        host = schedule_for_step(step, 50, 400, True, 0.01, 0.001, 1e-6)
+        traced = (
+            float(_traced_lr(jnp.asarray(step), 0.01, 50, 400, True, 1e-6)),
+            float(_traced_lr(jnp.asarray(step), 0.001, 50, 400, True, 1e-6)),
+        )
+        np.testing.assert_allclose(traced, host, rtol=1e-6)
+
+
+def test_reduce_lr_on_plateau_reference_semantics():
+    """ref jax_helpers/train_helpers.py:50-68."""
+    st = PlateauState(1.0, 0.1, 0, -np.inf)
+    st = reduce_lr_on_plateau(st, 0.5, factor=0.5, patience=2, lr_min=1e-3)
+    assert st.best == 0.5 and st.count == 0 and st.lr == 1.0
+    for _ in range(2):
+        st = reduce_lr_on_plateau(st, 0.4, factor=0.5, patience=2, lr_min=1e-3)
+    assert st.count == 2 and st.lr == 1.0
+    st = reduce_lr_on_plateau(st, 0.4, factor=0.5, patience=2, lr_min=1e-3)
+    assert st.lr == 0.5 and st.ssm_lr == 0.05 and st.count == 0
+    # floor
+    for _ in range(50):
+        st = reduce_lr_on_plateau(st, 0.0, factor=0.5, patience=0, lr_min=1e-3)
+    assert st.lr >= 1e-3 and st.ssm_lr >= 1e-3
+
+
+def test_set_group_learning_rates_functional():
+    params = {"a": {"Lambda_re": jnp.ones(3)}, "b": {"kernel": jnp.ones((2, 2))}}
+    tx = optax.multi_transform(
+        {
+            "ssm": optax.inject_hyperparams(optax.adam)(learning_rate=0.1),
+            "regular": optax.inject_hyperparams(optax.adamw)(learning_rate=0.2),
+        },
+        map_nested_fn(lambda k, _: "ssm" if k == "Lambda_re" else "regular"),
+    )
+    opt_state = tx.init(params)
+    new_state = set_group_learning_rates(
+        opt_state, {"ssm": 0.5, "regular": 0.7}
+    )
+
+    def get_lr(st, name):
+        inner = st.inner_states[name]
+        while not (hasattr(inner, "hyperparams") and "learning_rate" in getattr(inner, "hyperparams", {})):
+            if hasattr(inner, "inner_state"):
+                inner = inner.inner_state
+            elif isinstance(inner, tuple):
+                inner = inner[0]
+            else:
+                raise AssertionError("no hyperparams found")
+        return float(inner.hyperparams["learning_rate"])
+
+    assert get_lr(new_state, "ssm") == pytest.approx(0.5)
+    assert get_lr(new_state, "regular") == pytest.approx(0.7)
+    # original untouched (functional)
+    assert get_lr(opt_state, "ssm") == pytest.approx(0.1)
+
+
+def test_cross_entropy_ignores_minus_100():
+    logits = jnp.asarray(np.random.RandomState(0).randn(2, 5, 7), jnp.float32)
+    labels = jnp.asarray([[1, 2, -100, 3, -100], [-100, -100, 0, 4, 6]])
+    loss = float(cross_entropy_loss(logits, labels))
+    # manual masked mean in float64
+    logp = np.log(np.exp(np.float64(logits)) / np.exp(np.float64(logits)).sum(-1, keepdims=True))
+    vals = []
+    for b in range(2):
+        for t in range(5):
+            y = int(labels[b, t])
+            if y != -100:
+                vals.append(-logp[b, t, y])
+    assert loss == pytest.approx(np.mean(vals), rel=1e-4)
+    acc = compute_accuracy(logits, labels)
+    assert 0.0 <= float(acc) <= 1.0
+
+
+def test_batch_indices_cover_epochs_without_replacement():
+    rng = np.random.default_rng(0)
+    idx = batch_indices(rng, n=40, batch_size=10, k_steps=8)
+    assert idx.shape == (8, 10)
+    # first epoch (4 batches) covers all 40 examples exactly once
+    first_epoch = idx[:4].reshape(-1)
+    assert sorted(first_epoch.tolist()) == list(range(40))
+    ev = eval_indices(25, 10)
+    assert ev.shape == (2, 10)

@@ -24,9 +24,14 @@ import numpy as np
 
 
 def make_hippo(n: int) -> np.ndarray:
-    """Negated HiPPO-LegS matrix (ref models/common.py:180-191)."""
-    p = np.sqrt(1 + 2 * np.arange(n))
-    a = np.tril(np.outer(p, p)) - np.diag(np.arange(n))
+    """Negated HiPPO-LegS matrix (ref models/common.py:180-191).
+
+    float32 throughout: the reference computes this in jax's default f32,
+    and the downstream eigendecomposition's eigenvector phases depend on the
+    exact input bits — f32 parity here makes its checkpoints bit-compatible.
+    """
+    p = np.sqrt(1 + 2 * np.arange(n, dtype=np.float32))
+    a = np.tril(np.outer(p, p)) - np.diag(np.arange(n, dtype=np.float32))
     return -a
 
 
@@ -34,8 +39,8 @@ def make_nplr_hippo(n: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """HiPPO plus the rank-1 term P and input vector B making it normal
     (ref models/common.py:193-212)."""
     hippo = make_hippo(n)
-    p = np.sqrt(np.arange(n) + 0.5)
-    b = np.sqrt(2 * np.arange(n) + 1.0)
+    p = np.sqrt(np.arange(n, dtype=np.float32) + 0.5)
+    b = np.sqrt(2 * np.arange(n, dtype=np.float32) + 1.0)
     return hippo, p, b
 
 
@@ -49,11 +54,31 @@ def make_dplr_hippo(n: int):
     s = a + np.outer(p, p)
     s_diag = np.diagonal(s)
     lambda_real = np.mean(s_diag) * np.ones_like(s_diag)
-    # S is skew-symmetric (plus diagonal), so -i·S is Hermitian
-    lambda_imag, v = np.linalg.eigh(s * -1j)
+    # S is skew-symmetric (plus diagonal), so -i·S is Hermitian.  Use jax's
+    # eigh on the host CPU backend: LAPACK drivers differ between numpy and
+    # jax in eigenvector PHASE conventions, and matching the reference's
+    # (jax) choice makes P/B initial values — and therefore its checkpoints —
+    # bit-compatible, not just equivalent up to basis.
+    # complex64, matching the reference's float32 jax pipeline — eigenvector
+    # phases depend on dtype and driver, and checkpoint-level compatibility
+    # needs the same choices
+    lambda_imag, v = _host_eigh((s * -1j).astype(np.complex64))
     p_out = v.conj().T @ p
     b_out = v.conj().T @ b
     return lambda_real + 1j * lambda_imag, p_out, b_out, v, b
+
+
+def _host_eigh(m: np.ndarray):
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        cpu = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(cpu):
+            w, v = jnp.linalg.eigh(jnp.asarray(m))
+        return np.asarray(w), np.asarray(v)
+    except Exception:
+        return np.linalg.eigh(m)
 
 
 # --------------------------------------------------------------------------
