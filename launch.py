@@ -49,6 +49,10 @@ def main(argv=None) -> int:
         "--sweep_parallel", action="store_true", default=False,
         help="map sweep points across the device mesh (TPU-native)",
     )
+    parser.add_argument(
+        "--profile", type=str, default=None, metavar="DIR",
+        help="capture a jax.profiler device trace of the run into DIR",
+    )
     args = parser.parse_args(argv)
 
     import jax
@@ -89,6 +93,13 @@ def main(argv=None) -> int:
     )
 
     from tlie_tpu.training import train
+    from tlie_tpu.utils.profiling import profile_trace
+
+    import contextlib
+
+    profiler_ctx = (
+        profile_trace(args.profile) if args.profile else contextlib.nullcontext()
+    )
 
     def run_one(point_cfg):
         path, perf = train(point_cfg, trainloader, testloader, metrics_fn, wandb_config)
@@ -103,6 +114,17 @@ def main(argv=None) -> int:
             print("Finished!")
         return path, perf
 
+    with profiler_ctx:
+        _run_all(args, cfg, sweep, run_one, dataset, metrics_fn, wandb_config,
+                 conf_args if do_analysis else None)
+    return 0
+
+
+def _run_all(args, cfg, sweep, run_one, dataset, metrics_fn, wandb_config, conf_args):
+    import yaml
+
+    from tlie_tpu.config import apply_sweep_point, expand_sweep
+
     if sweep is not None:
         points = expand_sweep(sweep)
         print(f"Found {len(points)} sweep configurations ...")
@@ -110,8 +132,7 @@ def main(argv=None) -> int:
             from tlie_tpu.parallel.sweep import run_sweep_on_mesh
 
             run_sweep_on_mesh(
-                cfg, points, dataset, metrics_fn, wandb_config,
-                conf_args if do_analysis else None,
+                cfg, points, dataset, metrics_fn, wandb_config, conf_args,
             )
         else:
             for idx, point in enumerate(points):
@@ -125,8 +146,6 @@ def main(argv=None) -> int:
         path, perf = run_one(cfg)
         if path is None:
             print("Path is None, no eval")
-
-    return 0
 
 
 if __name__ == "__main__":

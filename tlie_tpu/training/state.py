@@ -126,14 +126,11 @@ def create_train_state_s5(
     del ssm_vars
     model = model_cls(training=True) if callable(model_cls) and not hasattr(model_cls, "apply") else model_cls
     variables = _init_variables(model, rng, in_dim, batch_size, seq_len, padded, integer_inputs)
-    none_group = {
-        "none": optax.inject_hyperparams(optax.adamw)(learning_rate=0.0)
-    }
-    ssm_set = ["Lambda_re", "Lambda_im", "log_step", "norm"]
-    tx = _grouped_tx(ssm_set, ssm_lr, lr, weight_decay, betas)
-    # rebuild with the extra zero-lr group to mirror the reference layout
+    # hardcoded SSM group + a zero-lr "none" group, mirroring the reference
+    # state layout (ref jax_helpers/train_helpers.py:126-139)
+    ssm_set = {"Lambda_re", "Lambda_im", "log_step", "norm"}
     groups = {
-        "none": none_group["none"],
+        "none": optax.inject_hyperparams(optax.adamw)(learning_rate=0.0),
         "ssm": optax.inject_hyperparams(optax.adam)(learning_rate=ssm_lr),
         "regular": optax.inject_hyperparams(optax.adamw)(
             learning_rate=lr, weight_decay=weight_decay
