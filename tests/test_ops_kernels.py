@@ -162,3 +162,37 @@ def test_cauchy_dot_matches_numpy():
     ref = np.array([(v / (w - lam)).sum() for w in omega])
     out = cauchy_dot(jnp.asarray(v), jnp.asarray(omega), jnp.asarray(lam))
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_fused_softmax_xent_matches_reference():
+    """Fused decoder+softmax-CE Pallas kernel (interpret mode) vs the plain
+    logits formulation: value and all three gradients."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from tlie_tpu.ops.fused_xent import fused_softmax_xent, fused_xent_eligible
+
+    M, D, V = 128, 64, 512
+    assert fused_xent_eligible(M, D, V)
+    rng = np.random.RandomState(1)
+    h = jnp.asarray(rng.randn(M, D).astype(np.float32))
+    w = jnp.asarray(rng.randn(D, V).astype(np.float32) * 0.05)
+    b = jnp.asarray(rng.randn(V).astype(np.float32) * 0.1)
+    y = rng.randint(0, V, M)
+    y[::5] = -100
+    y = jnp.asarray(y, jnp.int32)
+
+    def ref(h, w, b, y):
+        logits = h @ w + b
+        lse = jax.nn.logsumexp(logits, -1)
+        picked = jnp.take_along_axis(logits, jnp.maximum(y, 0)[:, None], -1)[:, 0]
+        mask = y != -100
+        return jnp.sum(jnp.where(mask, lse - picked, 0.0)) / jnp.maximum(mask.sum(), 1)
+
+    with pltpu.force_tpu_interpret_mode():
+        v = float(fused_softmax_xent(h, w, b, y))
+        g_f = jax.grad(fused_softmax_xent, argnums=(0, 1, 2))(h, w, b, y)
+    v0 = float(ref(h, w, b, y))
+    assert v == pytest.approx(v0, rel=1e-5)
+    g_r = jax.grad(ref, argnums=(0, 1, 2))(h, w, b, y)
+    for a, r in zip(g_f, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), rtol=1e-4, atol=1e-7)

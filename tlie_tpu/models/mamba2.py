@@ -283,12 +283,17 @@ class Mamba(nn.Module):
         if self.dual:
             self.match = MATCH(cfg["output_dim"], cfg["output_dim"])
 
-    def __call__(self, x):
+    def features(self, x):
+        """Backbone features before pooling/decoder (fused-xent path)."""
         if self.dual and x.ndim == 3 and jnp.issubdtype(x.dtype, jnp.integer):
             x = jnp.concatenate([x[:, 0], x[:, 1]], axis=0)
         x = self.encoder(x)
         for block in self.blocks:
             x = block(x)
+        return x
+
+    def __call__(self, x):
+        x = self.features(x)
         if self.pooling == "mean":
             x = jnp.mean(x, axis=-2)
         elif self.pooling == "max":

@@ -156,7 +156,9 @@ class Transformer(nn.Module):
         self.norm = nn.LayerNorm()
         self.drop = nn.Dropout(cfg["dropout"], deterministic=self.deterministic)
 
-    def __call__(self, x):
+    def features(self, x):
+        """Backbone features before the decoder head — the fused
+        softmax-xent path consumes these (ops/fused_xent.py)."""
         if self.dual and x.ndim == 3 and jnp.issubdtype(x.dtype, jnp.integer):
             # retrieval pairs arrive as (B, 2, L): fold the pair axis into
             # the batch (the reference feeds a 2B batch, ref train/AAN collate)
@@ -165,7 +167,10 @@ class Transformer(nn.Module):
         x = self.drop(x)
         for layer in self.layers:
             x = layer(x)
-        x = self.norm(x)
+        return self.norm(x)
+
+    def __call__(self, x):
+        x = self.features(x)
         if self.classify:
             x = self.classifier(x)
             if self.dual:

@@ -6,6 +6,9 @@ from .linear_attention import (
 )
 from .ssd import ssd_chunked_scan, ssd_recurrent_scan
 from .attention import causal_softmax_attention
+from .eig import eigvals_pair
+from .fused_xent import fused_softmax_xent
+from . import fft
 
 __all__ = [
     "diag_linear_scan",
@@ -15,4 +18,7 @@ __all__ = [
     "ssd_chunked_scan",
     "ssd_recurrent_scan",
     "causal_softmax_attention",
+    "eigvals_pair",
+    "fused_softmax_xent",
+    "fft",
 ]

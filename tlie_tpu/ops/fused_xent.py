@@ -1,0 +1,241 @@
+"""Fused decoder + softmax cross-entropy Pallas kernel.
+
+The per-position LM loss dominates training step time once the recurrences
+are fast: materialising (B·L, V) logits costs ~4 bytes × B·L·V of HBM
+traffic three times (forward, logsumexp backward, gather backward).  This
+kernel fuses the decoder matmul with an ONLINE softmax-cross-entropy: the
+vocabulary is tiled through VMEM, running (max, sum-exp, picked-logit)
+statistics live in scratch, and the full logits cube never exists.
+
+Backward recomputes the softmax per vocab tile in two passes (one
+accumulating dh with the vocab axis innermost, one accumulating dW/db with
+the row axis innermost) — same recompute-over-materialise trade as flash
+attention.
+
+API: ``fused_softmax_xent(h, W, b, labels)`` → mean masked CE, with a
+custom VJP for (h, W, b).  Shapes: h (M, D), W (D, V), b (V,), labels (M,)
+with −100 ignored.  M, D, V must tile by (128, —, 512).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TM = 128   # row tile
+_TV = 512   # vocab tile
+IGNORE = -100
+
+
+def fused_xent_eligible(M: int, D: int, V: int) -> bool:
+    return M % _TM == 0 and V % _TV == 0 and D <= 1024
+
+
+# ------------------------------------------------------------- forward
+
+
+def _fwd_kernel(h_ref, w_ref, b_ref, y_ref, loss_ref, lse_ref,
+                m_scr, s_scr, p_scr):
+    vj = pl.program_id(1)
+    nv = pl.num_programs(1)
+
+    @pl.when(vj == 0)
+    def _():
+        m_scr[...] = jnp.full_like(m_scr, -1e30)
+        s_scr[...] = jnp.zeros_like(s_scr)
+        p_scr[...] = jnp.zeros_like(p_scr)
+
+    logits = jnp.dot(h_ref[...], w_ref[...], preferred_element_type=jnp.float32)
+    logits = logits + b_ref[...]
+
+    m_old = m_scr[...]
+    m_new = jnp.maximum(m_old, jnp.max(logits, axis=-1, keepdims=True))
+    s_scr[...] = s_scr[...] * jnp.exp(m_old - m_new) + jnp.sum(
+        jnp.exp(logits - m_new), axis=-1, keepdims=True
+    )
+    m_scr[...] = m_new
+
+    # picked logit: label column falls in this tile?
+    labels = y_ref[...]  # (TM, 1) int32
+    loc = labels - vj * _TV
+    col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    hit = col == loc
+    p_scr[...] = p_scr[...] + jnp.sum(
+        jnp.where(hit, logits, 0.0), axis=-1, keepdims=True
+    )
+
+    @pl.when(vj == nv - 1)
+    def _():
+        lse = m_scr[...] + jnp.log(s_scr[...])
+        valid = labels != IGNORE
+        loss_ref[...] = jnp.where(valid, lse - p_scr[...], 0.0)
+        lse_ref[...] = lse
+
+
+def _fwd(h, w, b, labels):
+    M, D = h.shape
+    V = w.shape[1]
+    grid = (M // _TM, V // _TV)
+    loss, lse = pl.pallas_call(
+        _fwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_TM, D), lambda mi, vj: (mi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, _TV), lambda mi, vj: (0, vj), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _TV), lambda mi, vj: (0, vj), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TM, 1), lambda mi, vj: (mi, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((_TM, 1), lambda mi, vj: (mi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TM, 1), lambda mi, vj: (mi, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((M, 1), jnp.float32),
+            jax.ShapeDtypeStruct((M, 1), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((_TM, 1), jnp.float32),
+            pltpu.VMEM((_TM, 1), jnp.float32),
+            pltpu.VMEM((_TM, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+    )(h, w, b.reshape(1, V), labels.reshape(M, 1).astype(jnp.int32))
+    return loss[:, 0], lse[:, 0]
+
+
+# ------------------------------------------------------------- backward
+# dL/dlogits = (softmax(logits) − onehot(label)) · g_row
+# dh = dlogits @ Wᵀ ;  dW = hᵀ @ dlogits ;  db = Σ_rows dlogits
+
+
+def _dlogits(h_ref, w_ref, b_ref, y_ref, lse_ref, g_ref, vj):
+    logits = jnp.dot(h_ref[...], w_ref[...], preferred_element_type=jnp.float32)
+    logits = logits + b_ref[...]
+    p = jnp.exp(logits - lse_ref[...])
+    labels = y_ref[...]
+    loc = labels - vj * _TV
+    col = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
+    onehot = (col == loc).astype(jnp.float32)
+    valid = (labels != IGNORE).astype(jnp.float32)
+    return (p - onehot) * g_ref[...] * valid
+
+
+def _bwd_dh_kernel(h_ref, w_ref, b_ref, y_ref, lse_ref, g_ref, dh_ref):
+    vj = pl.program_id(1)
+    t = _dlogits(h_ref, w_ref, b_ref, y_ref, lse_ref, g_ref, vj)
+    contrib = jax.lax.dot_general(
+        t, w_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(vj == 0)
+    def _():
+        dh_ref[...] = jnp.zeros_like(dh_ref)
+
+    dh_ref[...] = dh_ref[...] + contrib
+
+
+def _bwd_dw_kernel(h_ref, w_ref, b_ref, y_ref, lse_ref, g_ref, dw_ref, db_ref):
+    mi = pl.program_id(1)  # rows innermost: dW tile revisited consecutively
+    vj = pl.program_id(0)
+    t = _dlogits(h_ref, w_ref, b_ref, y_ref, lse_ref, g_ref, vj)
+    contrib = jax.lax.dot_general(
+        h_ref[...], t, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(mi == 0)
+    def _():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+
+    dw_ref[...] = dw_ref[...] + contrib
+    db_ref[...] = db_ref[...] + jnp.sum(t, axis=0, keepdims=True)
+
+
+def _bwd(h, w, b, labels, lse, g_rows):
+    M, D = h.shape
+    V = w.shape[1]
+    y2 = labels.reshape(M, 1).astype(jnp.int32)
+    lse2 = lse.reshape(M, 1)
+    g2 = g_rows.reshape(M, 1)
+    b2 = b.reshape(1, V)
+
+    dh = pl.pallas_call(
+        _bwd_dh_kernel,
+        grid=(M // _TM, V // _TV),
+        in_specs=[
+            pl.BlockSpec((_TM, D), lambda mi, vj: (mi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, _TV), lambda mi, vj: (0, vj), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _TV), lambda mi, vj: (0, vj), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TM, 1), lambda mi, vj: (mi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TM, 1), lambda mi, vj: (mi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TM, 1), lambda mi, vj: (mi, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_TM, D), lambda mi, vj: (mi, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, D), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+    )(h, w, b2, y2, lse2, g2)
+
+    dw, db = pl.pallas_call(
+        _bwd_dw_kernel,
+        grid=(V // _TV, M // _TM),
+        in_specs=[
+            pl.BlockSpec((_TM, D), lambda vj, mi: (mi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, _TV), lambda vj, mi: (0, vj), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _TV), lambda vj, mi: (0, vj), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TM, 1), lambda vj, mi: (mi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TM, 1), lambda vj, mi: (mi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TM, 1), lambda vj, mi: (mi, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((D, _TV), lambda vj, mi: (0, vj), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _TV), lambda vj, mi: (0, vj), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((D, V), jnp.float32),
+            jax.ShapeDtypeStruct((1, V), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+    )(h, w, b2, y2, lse2, g2)
+    return dh, dw, db[0]
+
+
+# ------------------------------------------------------------- public op
+
+
+@jax.custom_vjp
+def fused_softmax_xent(h, w, b, labels):
+    """Mean masked softmax cross-entropy of ``h @ w + b`` against ``labels``
+    without materialising the logits. Returns a scalar."""
+    loss_rows, _ = _fwd(h, w, b, labels)
+    n_valid = jnp.maximum(jnp.sum(labels != IGNORE), 1)
+    return jnp.sum(loss_rows) / n_valid
+
+
+def _vjp_fwd(h, w, b, labels):
+    loss_rows, lse = _fwd(h, w, b, labels)
+    n_valid = jnp.maximum(jnp.sum(labels != IGNORE), 1)
+    return jnp.sum(loss_rows) / n_valid, (h, w, b, labels, lse, n_valid)
+
+
+def _vjp_bwd(res, g):
+    h, w, b, labels, lse, n_valid = res
+    g_rows = jnp.full(labels.shape, g / n_valid.astype(jnp.float32))
+    dh, dw, db = _bwd(h, w, b, labels, lse, g_rows)
+    return dh, dw, db, None
+
+
+fused_softmax_xent.defvjp(_vjp_fwd, _vjp_bwd)

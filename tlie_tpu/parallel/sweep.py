@@ -133,6 +133,7 @@ def run_sweep_on_mesh(
     wandb_config: Optional[Dict[str, Any]] = None,
     conf_args: Optional[Dict[str, Any]] = None,
     mesh=None,
+    max_points_per_device: int = 4,
 ) -> List[Tuple[Optional[str], float]]:
     """Train every sweep point in parallel on the mesh; then (serially)
     checkpoint each point and run the eigen analysis.
@@ -167,10 +168,15 @@ def run_sweep_on_mesh(
                 results[i] = (rec.get("path"), rec.get("perf", 0.0))
         if not pending:
             continue
-        _run_group(
-            base, cfgs, points, pending, dataset, metrics_fn, mesh, n_dev,
-            results, journal_path, wandb_config, conf_args,
-        )
+        # split into waves bounded by per-device HBM: each grid point carries
+        # its own step transients, so points-per-device is the memory knob
+        wave = max(1, max_points_per_device * n_dev)
+        for w0 in range(0, len(pending), wave):
+            _run_group(
+                base, cfgs, points, pending[w0 : w0 + wave], dataset,
+                metrics_fn, mesh, n_dev, results, journal_path,
+                wandb_config, conf_args,
+            )
 
     return results
 

@@ -195,11 +195,42 @@ def train(
             np.asarray(testloader.lengths) if (padded and testloader.lengths is not None) else None,
         )
         bsz = train_config["batch_size"]
+        # fused decoder+softmax-CE head: exact same loss, logits cube never
+        # materialised; eligible for per-position LM heads of the attention
+        # families (see ops/fused_xent.py)
+        fused_head = bool(train_config.get("fused_xent", True))
+        if fused_head:
+            from ..ops.fused_xent import fused_xent_eligible
+
+            # transformer ignores pooling when classifier=False (per-position
+            # decoder, ref models/transformer.py:149-161); mamba pools before
+            # its decoder so only pooling="none" is per-position
+            per_pos = (
+                lang_model
+                and not model_config.get("classifier", False)
+                and not model_config.get("dual", False)
+                and (
+                    family == "transformer"
+                    or (family == "mamba" and model_config.get("pooling") == "none")
+                )
+            )
+            m_rows = bsz * seq_len
+            on_tpu = jax.default_backend() not in ("cpu", "gpu")
+            fused_head = (
+                per_pos
+                and on_tpu
+                and fused_xent_eligible(
+                    m_rows, model_config["hidden_dim"], model_config["output_dim"]
+                )
+            )
         train_block = make_train_block(
             train_model, norm, tuple(sorted(group_names)),
             warmup, total_steps, cosine, lr_min,
             group_lr=train_config.get("group_lr", 1e-3),
+            fused_head=fused_head,
         )
+        if fused_head:
+            print("[train] fused decoder+softmax-CE head enabled")
         eval_block = make_eval_block(eval_model, norm, metrics_fn)
         eval_idx = eval_indices(len(testloader.inputs), bsz)
         nprng = np.random.default_rng(config.seed)

@@ -82,12 +82,35 @@ def make_train_block(
     cosine: bool,
     lr_min: float,
     group_lr: float = 1e-3,
+    fused_head: bool = False,
 ):
     """Build a jitted runner for K on-device training steps.
 
     Returned callable: (state, rng, DeviceData, idx (K, B), step0, lr, ssm_lr)
     → (state, mean_loss).
+
+    ``fused_head=True`` routes the loss through the fused decoder+softmax-CE
+    Pallas kernel (ops/fused_xent.py): the model's ``features`` method feeds
+    the kernel together with the decoder params, and the (B·L, vocab) logits
+    cube never materialises.
     """
+
+    def _fused_loss(params, x, y, drop_rng):
+        from ..ops.fused_xent import fused_softmax_xent
+
+        feats = model.apply(
+            {"params": params}, x, rngs={"dropout": drop_rng},
+            method=type(model).features,
+        )
+        d = feats.shape[-1]
+        dec = params["decoder"]
+        w = dec["kernel"]
+        b = dec.get("bias")
+        if b is None:
+            b = jnp.zeros((w.shape[1],), feats.dtype)
+        return fused_softmax_xent(
+            feats.reshape(-1, d), w, b, y.reshape(-1)
+        )
 
     @jax.jit
     def run_block(state, rng, data: DeviceData, idx, step0, lr, ssm_lr):
@@ -109,6 +132,8 @@ def make_train_block(
             drop_rng = jax.random.fold_in(rng, step)
 
             def _loss(params):
+                if fused_head:
+                    return _fused_loss(params, x, y, drop_rng), None
                 if norm == "batch":
                     p = {"params": params, "batch_stats": state.batch_stats}
                     logits, updates = model.apply(
