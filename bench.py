@@ -19,7 +19,6 @@ import json
 import time
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 REFERENCE_STEPS_PER_SEC = 10.0  # documented estimate, see module docstring

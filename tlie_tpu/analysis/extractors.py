@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.attention_layers import approx_fn_by_name, norm_fn_by_name
+from ..models.attention_layers import norm_fn_by_name
 from ..models.s4 import discrete_dplr
 from ..utils import cplx
 

@@ -22,7 +22,7 @@ from typing import Dict, Iterable, List, Optional, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from .binning import PHASE_THRESHOLDS, RADIUS_THRESHOLDS, threshold_analysis
+from .binning import RADIUS_THRESHOLDS, threshold_analysis
 from .extractors import eta_softmax_from_qk
 
 

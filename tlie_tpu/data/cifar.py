@@ -16,7 +16,6 @@ where to put the data.
 
 from __future__ import annotations
 
-from pathlib import Path
 from typing import Optional, Tuple
 
 import numpy as np

@@ -14,8 +14,6 @@ though one is supported for parity.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 from .base import SequenceDataset, masked_accuracy

@@ -15,7 +15,6 @@ Offline behaviour (this environment has no egress):
 
 from __future__ import annotations
 
-import functools
 from pathlib import Path
 from typing import Optional, Tuple
 

@@ -16,7 +16,7 @@ ref analysis/eval_eig.py:241-252).
 
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

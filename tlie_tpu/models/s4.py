@@ -23,9 +23,8 @@ The analysis path (eigenvalues of the dense discretized Ā) reuses
 
 from __future__ import annotations
 
-import functools
 from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

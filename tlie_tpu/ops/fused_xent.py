@@ -19,8 +19,6 @@ with −100 ignored.  M, D, V must tile by (128, —, 512).
 
 from __future__ import annotations
 
-import functools
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,6 @@ from typing import Any, Dict, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 import optax
-from flax import core as flax_core
 from flax.training import train_state
 
 

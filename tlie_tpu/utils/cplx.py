@@ -13,7 +13,7 @@ accept plain real arrays (treated as imag=0) and numpy/jnp complex arrays
 
 from __future__ import annotations
 
-from typing import Tuple, Union
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
