@@ -70,6 +70,10 @@ def main():
     train_block = make_train_block(
         train_model, "layer", ("regular",), warmup=0,
         total_steps=10_000, cosine=True, lr_min=1e-6,
+        # fused decoder+softmax-CE (ops/fused_xent.py) measured SLOWER here
+        # (73.6 vs 82 steps/s): its in-kernel matmuls run fp32 while XLA's
+        # materialised-logits path rides bf16 MXU passes — kept opt-in
+        fused_head=False,
     )
     nprng = np.random.default_rng(0)
 

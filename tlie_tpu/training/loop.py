@@ -194,10 +194,11 @@ def train(
             np.asarray(testloader.lengths) if (padded and testloader.lengths is not None) else None,
         )
         bsz = train_config["batch_size"]
-        # fused decoder+softmax-CE head: exact same loss, logits cube never
-        # materialised; eligible for per-position LM heads of the attention
-        # families (see ops/fused_xent.py)
-        fused_head = bool(train_config.get("fused_xent", True))
+        # fused decoder+softmax-CE head (ops/fused_xent.py): exact same loss,
+        # logits cube never materialised.  Opt-in: at bench shapes it measured
+        # ~10% slower than XLA's bf16 materialised-logits path (fp32 in-kernel
+        # matmuls); it wins when the logits cube doesn't fit HBM.
+        fused_head = bool(train_config.get("fused_xent", False))
         if fused_head:
             from ..ops.fused_xent import fused_xent_eligible
 
