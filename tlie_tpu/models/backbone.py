@@ -173,6 +173,11 @@ class ClassificationModel(nn.Module):
     prenorm: bool = True
     norm: str = "layer"
     d_input: int | None = None  # needed only for integer-token inputs
+    # The reference emits log-probs (ref models/jax_layers.py:240).  The
+    # masked-CE loss is exactly invariant to the extra log_softmax
+    # (log_softmax∘log_softmax = log_softmax) but its backward costs ~100 ms
+    # at (64, 512, 8192) — the trainer sets logits_output=True.
+    logits_output: bool = False
 
     def setup(self):
         self.encoder = StackedEncoderModel(
@@ -208,6 +213,8 @@ class ClassificationModel(nn.Module):
         else:
             raise NotImplementedError("pooling must be in ['mean', 'last', 'none']")
         x = self.decoder(x)
+        if self.logits_output:
+            return x
         return nn.log_softmax(x, axis=-1)
 
 

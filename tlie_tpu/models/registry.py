@@ -41,6 +41,9 @@ def ssm_backbone_partial(model_config: Dict[str, Any], padded: bool):
         norm=model_config["norm"],
         padded=padded,
         d_input=model_config["input_dim"],
+        # CE/argmax/perplexity are invariant to the reference's final
+        # log_softmax; skipping it removes a ~100ms backward at LM shapes
+        logits_output=True,
     )
 
 
