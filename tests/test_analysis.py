@@ -39,7 +39,9 @@ def test_softmax_eta_matches_float64_reference():
         eig_att_softmax(jnp.asarray(x), jnp.asarray(kernel), jnp.asarray(bias), d_qk, D, H)
     )
 
-    # float64 host reference: zero-masked scores, max-rescaled exp-sum ratio
+    # float64 host reference — faithful transcription of ref eval_eig.py:57-95:
+    # scores AND the repeated row-max are BOTH zero-masked before the
+    # subtraction, so masked entries contribute exp(0) = 1 to nu.
     qkv = (x @ kernel + bias).astype(np.float64)
     hd = d_qk // H
     q = qkv[..., :d_qk].reshape(B, L, H, hd)
@@ -48,7 +50,8 @@ def test_softmax_eta_matches_float64_reference():
     mask = np.tril(np.ones((L, L)))[None, :, :, None]
     scores = scores * mask
     m = scores.max(axis=2)
-    nu = np.exp(scores - m[:, :, None, :]).sum(axis=2)
+    scores_max_r = m[:, :, None, :] * mask  # ref :67-69 zero-masks the max too
+    nu = np.exp(scores - scores_max_r).sum(axis=2)
     eta_ref = nu[:, :-1] / nu[:, 1:] * np.exp(m[:, :-1] - m[:, 1:])
     np.testing.assert_allclose(eta, eta_ref, rtol=1e-4, atol=1e-5)
 

@@ -68,11 +68,13 @@ def test_eta_matches_manual_qk_computation():
     q = rng.randn(1, 10, 2, 4).astype(np.float32)
     k = rng.randn(1, 10, 2, 4).astype(np.float32)
     eta = eta_from_torch_qk(q, k)
-    # float64 manual reference
+    # float64 manual reference (notebook cell 13: the subtracted row-max is
+    # zero-masked too, so masked entries contribute exp(0)=1 to nu)
+    mask = np.tril(np.ones((10, 10)))[None, :, :, None]
     scores = np.einsum("bthd,bshd->btsh", q.astype(np.float64), k.astype(np.float64))
-    scores = scores * np.tril(np.ones((10, 10)))[None, :, :, None]
-    nu = np.exp(scores - scores.max(2, keepdims=True)).sum(2)
+    scores = scores * mask
     m = scores.max(2)
+    nu = np.exp(scores - m[:, :, None, :] * mask).sum(2)
     eta_ref = nu[:, :-1] / nu[:, 1:] * np.exp(m[:, :-1] - m[:, 1:])
     np.testing.assert_allclose(eta, eta_ref, rtol=1e-4, atol=1e-5)
 

@@ -172,3 +172,54 @@ def test_s4_forward_and_spectra_parity(refmodels):
     # valid fp32 pipelines (reference complex vs our pair arithmetic) agree
     # in radius to ~1e-3, far inside the binning resolution
     np.testing.assert_allclose(w_our, w_ref, atol=2e-3)
+
+
+def test_softmax_eta_vs_actual_reference_source():
+    """Run the reference's OWN ``get_eig_att_softmax`` (extracted by AST from
+    /root/reference/analysis/eval_eig.py — the module itself needs CUDA libs)
+    on a stub torch layer and require our on-device extractor to match within
+    the 1e-5 BASELINE budget."""
+    torch = pytest.importorskip("torch")
+    einops = pytest.importorskip("einops")
+    import ast
+
+    src = open(os.path.join(REF, "analysis", "eval_eig.py")).read()
+    tree = ast.parse(src)
+    fn_node = next(
+        n for n in tree.body
+        if isinstance(n, ast.FunctionDef) and n.name == "get_eig_att_softmax"
+    )
+    ns = {"torch": torch, "einops": einops, "np": np}
+    exec(compile(ast.Module([fn_node], []), "eval_eig.py", "exec"), ns)
+    ref_fn = ns["get_eig_att_softmax"]
+
+    B, L, D, H = 2, 24, 8, 2
+    d_qk = D
+    g = torch.Generator().manual_seed(7)
+    wqkv = torch.nn.Linear(D, 2 * d_qk + D)
+    with torch.no_grad():
+        wqkv.weight.copy_(torch.randn(2 * d_qk + D, D, generator=g) * 0.3)
+        wqkv.bias.copy_(torch.randn(2 * d_qk + D, generator=g) * 0.1)
+    x = torch.randn(B, L, D, generator=g)
+
+    class _Attn:
+        Wqkv = wqkv
+        head_dim = d_qk // H
+
+    class _Layer:
+        attention = _Attn()
+
+    with torch.no_grad():
+        eta_ref = ref_fn(x, _Layer(), d_qk, H, D)[..., 0]  # (B, L-1, H)
+
+    from tlie_tpu.analysis.extractors import eig_att_softmax
+
+    eta = np.asarray(
+        eig_att_softmax(
+            jnp.asarray(x.numpy()),
+            jnp.asarray(wqkv.weight.detach().numpy().T),
+            jnp.asarray(wqkv.bias.detach().numpy()),
+            d_qk, D, H,
+        )
+    )
+    np.testing.assert_allclose(eta, eta_ref, rtol=1e-5, atol=1e-5)

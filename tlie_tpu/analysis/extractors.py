@@ -54,8 +54,12 @@ def eta_softmax_from_qk(q: jax.Array, k: jax.Array) -> jax.Array:
     η_t = ν_t/ν_{t+1} with ν_t = Σ_s exp(masked score[t, s]); the masked
     score is q_t·k_s for s ≤ t and 0 beyond (the reference zeroes instead of
     −inf — reproduced exactly; ref eval_eig.py:43-95 and the lm_eigvals
-    notebook's get_eig_from_qkv_att_softmax).  Computed on device in fp32
-    with the reference's max-rescaling (an exact stabilised sum-exp ratio).
+    notebook's get_eig_from_qkv_att_softmax).  Crucially the reference ALSO
+    zeroes the subtracted row-max at masked positions (ref eval_eig.py:67-69,
+    ``scores_max_r = einsum(scores_max_r, mask)``), so each masked entry
+    contributes exp(0 − 0) = 1 to ν_t — i.e. ν_t carries an additive
+    (L − 1 − t) term.  Computed on device in fp32 with the reference's
+    max-rescaling (an exact stabilised sum-exp ratio).
     """
     L = q.shape[1]
     scores = jnp.einsum("bthd,bshd->btsh", q, k, precision=_HI)
@@ -63,7 +67,9 @@ def eta_softmax_from_qk(q: jax.Array, k: jax.Array) -> jax.Array:
     scores = jnp.where(causal, scores, 0.0)
 
     m = jnp.max(scores, axis=2)  # (B, L, H) — includes the zeros, as in ref
-    se = jnp.sum(jnp.exp(scores - m[:, :, None, :]), axis=2)  # (B, L, H)
+    # masked positions: score 0 AND subtracted max 0 → exp(0) = 1 each
+    shifted = jnp.where(causal, scores - m[:, :, None, :], 0.0)
+    se = jnp.sum(jnp.exp(shifted), axis=2)  # (B, L, H)
     return (se[:, :-1] / se[:, 1:]) * jnp.exp(m[:, :-1] - m[:, 1:])
 
 
