@@ -1,12 +1,16 @@
-"""Benchmark: MQAR training throughput (steps/sec/chip) on the flagship task.
+"""Benchmark: training throughput + analysis latency on the reference budgets.
 
-Prints ONE JSON line:
-    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+Prints ONE JSON line whose headline metric is the BASELINE.json primary
+config (MQAR linear-attention steps/sec/chip); the ``extra`` field carries
+the additional tracked metrics:
 
-Measured workload: the reference's headline MQAR budget (seq 512, 64 kv
-pairs, vocab 8192, batch 64 — ref configs/iclr2026/mqar/mqar-mamba2.yaml)
-trained with the linear-attention transformer (the BASELINE.json primary
-config), jitted end-to-end on one chip.
+  * ``mqar_mamba2_train_steps_per_sec_per_chip`` — the hardest kernel (K1
+    chunked SSD scan) at the full reference MQAR budget
+    (ref configs/iclr2026/mqar/mqar-mamba2.yaml).
+  * ``eval_eig_sec_per_checkpoint`` — the BASELINE.md analysis north star:
+    full eigen-analysis pipeline wall-clock for one checkpoint at the
+    reference's MQAR analysis batch size (64), including init+trained
+    spectra, binning, and artifact writes.
 
 ``vs_baseline``: the reference publishes no throughput numbers
 (BASELINE.md); we normalise against a conservative estimate of the
@@ -16,57 +20,69 @@ vs_baseline > 1.0 means faster than the reference-class setup.
 """
 
 import json
+import os
+import shutil
+import tempfile
 import time
 
-import jax
 import numpy as np
 
 REFERENCE_STEPS_PER_SEC = 10.0  # documented estimate, see module docstring
 
+_MQAR_DATASET = {
+    "name": "MQAR", "_name_": "mqar",
+    "input_seq_length": 512, "num_kv_pairs": 64, "vocab_size": 8192,
+    "num_train_examples": 2048, "num_test_examples": 256,
+    "fixed_size": True,
+}
 
-def main():
+_TRAIN = {
+    "total_steps": 100, "batch_size": 64, "lr": 0.01, "wd": 0.1,
+    "eval_every": 1000, "cosine_anneal": True, "param_group": None,
+}
+
+_LIN_ATT_MODEL = {
+    "input_dim": 1, "output_dim": 8192, "layer": "transformer",
+    "attention_fn": "lin-attention", "use_flash": False,
+    "num_layers": 2, "hidden_dim": 128, "state_dim": 128,
+    "num_heads": 1, "att_dropout": 0.0, "norm": "layer",
+    "embedding": True, "vocab_size": 8192, "max_pos_embed": 512,
+    "mixer": "none", "mixer_dim": 128, "dropout": 0.1,
+    "classifier": False, "pooling": "mean", "dual": False,
+}
+
+# full reference budget for the SSD kernel (ref mqar/mqar-mamba2.yaml)
+_MAMBA2_MODEL = {
+    "layer": "mamba", "version": "mamba2", "num_layers": 2, "num_heads": 1,
+    "input_dim": 1, "output_dim": 8192, "hidden_dim": 128, "state_dim": 128,
+    "conv_dim": 4, "expansion": 1, "dropout": 0.0, "glu": True,
+    "norm": "layer", "dual": False, "prenorm": True, "mixer": "none",
+    "mixer_dim": 128, "classifier": False, "pooling": "none",
+    "embedding": True, "token_embedding": True, "vocab_size": 8192,
+    "max_pos_embed": 512,
+}
+
+
+def _setup(model_cfg, ds):
     from tlie_tpu.config import ExperimentConfig
-    from tlie_tpu.data import SequenceDataset
     from tlie_tpu.models.registry import build_models
     from tlie_tpu.training.loop import _make_state
-    from tlie_tpu.training.scan_loop import (
-        batch_indices, make_train_block, put_dataset,
-    )
 
-    raw = {
-        "seed": 1919,
-        "save": None,
-        "dataset": {
-            "name": "MQAR", "_name_": "mqar",
-            "input_seq_length": 512, "num_kv_pairs": 64, "vocab_size": 8192,
-            "num_train_examples": 2048, "num_test_examples": 256,
-            "fixed_size": True,
-        },
-        "train": {
-            "total_steps": 100, "batch_size": 64, "lr": 0.01, "wd": 0.1,
-            "eval_every": 1000, "cosine_anneal": True, "param_group": None,
-        },
-        "model": {
-            "input_dim": 1, "output_dim": 8192, "layer": "transformer",
-            "attention_fn": "lin-attention", "use_flash": False,
-            "num_layers": 2, "hidden_dim": 128, "state_dim": 128,
-            "num_heads": 1, "att_dropout": 0.0, "norm": "layer",
-            "embedding": True, "vocab_size": 8192, "max_pos_embed": 512,
-            "mixer": "none", "mixer_dim": 128, "dropout": 0.1,
-            "classifier": False, "pooling": "mean", "dual": False,
-        },
-    }
+    raw = {"seed": 1919, "save": None, "dataset": dict(_MQAR_DATASET),
+           "train": dict(_TRAIN), "model": dict(model_cfg)}
     cfg = ExperimentConfig(raw).validate()
-    ds = SequenceDataset.registry["mqar"](**cfg.dataset)
-    ds.setup()
     cfg.derive_runtime_fields(ds)
-
     train_model, _, _ = build_models(cfg.model, False)
     state, _, rng = _make_state(cfg, train_model, integer_inputs=True)
+    return cfg, train_model, state, rng
 
-    # device-resident dataset + on-device scanned steps (one dispatch per
-    # block) — the framework's production training path
-    data = put_dataset(ds.train_inputs, ds.train_labels)
+
+def _bench_train(model_cfg, ds, data, n_steps=200):
+    """steps/s for one family on the device-resident scanned path — the
+    framework's production training loop (training/scan_loop.py)."""
+    from tlie_tpu.training.scan_loop import batch_indices, make_train_block
+
+    cfg, train_model, state, rng = _setup(model_cfg, ds)
     train_block = make_train_block(
         train_model, "layer", ("regular",), warmup=0,
         total_steps=10_000, cosine=True, lr_min=1e-6,
@@ -76,27 +92,71 @@ def main():
         fused_head=False,
     )
     nprng = np.random.default_rng(0)
-
-    n_steps = 200
     idx = batch_indices(nprng, len(ds.train_inputs), 64, n_steps)
     # warm up (compile); float() forces a synchronous host read —
     # block_until_ready does not reliably synchronise through the axon tunnel
     _, loss = train_block(state, rng, data, idx[:1], 0, 0.01, 0.01)
     float(loss)
-    state2, loss = train_block(state, rng, data, idx, 0, 0.01, 0.01)
+    _, loss = train_block(state, rng, data, idx, 0, 0.01, 0.01)
     float(loss)
 
     t0 = time.perf_counter()
-    state2, loss = train_block(state, rng, data, idx, 0, 0.01, 0.01)
+    _, loss = train_block(state, rng, data, idx, 0, 0.01, 0.01)
     float(loss)
-    dt = time.perf_counter() - t0
-    sps = n_steps / dt
+    return n_steps / (time.perf_counter() - t0)
+
+
+def _bench_analysis(ds):
+    """Wall-clock of ONE full eval_eig checkpoint analysis (init + trained
+    spectra extraction, threshold binning, artifact writes) at the
+    reference's MQAR analysis batch size (BASELINE.md north star)."""
+    from tlie_tpu.analysis import eval_eig
+    from tlie_tpu.training import train
+
+    workdir = tempfile.mkdtemp(prefix="bench_eig_")
+    try:
+        from tlie_tpu.config import ExperimentConfig
+
+        raw = {"seed": 1919, "save": os.path.join(workdir, "ck"),
+               "dataset": dict(_MQAR_DATASET),
+               "train": {**_TRAIN, "total_steps": 5, "eval_every": 5},
+               "model": dict(_LIN_ATT_MODEL)}
+        cfg = ExperimentConfig(raw).validate()
+        cfg.derive_runtime_fields(ds)
+        tl = ds.train_dataloader(batch_size=64, shuffle=True)
+        el = ds.test_dataloader(batch_size=64, shuffle=False)
+        path, perf = train(cfg, tl, el, ds.get_metrics(), None)
+
+        analysisloader = ds.test_dataloader(batch_size=64, shuffle=False)
+        conf_args = {"batch_size": 64, "save_path": os.path.join(workdir, "out")}
+        t0 = time.perf_counter()
+        eval_eig(cfg.raw, conf_args, None, cfg.dataset, analysisloader, path, perf)
+        return time.perf_counter() - t0
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def main():
+    from tlie_tpu.data import SequenceDataset
+    from tlie_tpu.training.scan_loop import put_dataset
+
+    ds = SequenceDataset.registry["mqar"](**_MQAR_DATASET)
+    ds.setup()
+    data = put_dataset(ds.train_inputs, ds.train_labels)
+
+    sps_lin = _bench_train(_LIN_ATT_MODEL, ds, data)
+    sps_ssd = _bench_train(_MAMBA2_MODEL, ds, data)
+    t_eig = _bench_analysis(ds)
 
     print(json.dumps({
         "metric": "mqar_lin_attention_train_steps_per_sec_per_chip",
-        "value": round(sps, 3),
+        "value": round(sps_lin, 3),
         "unit": "steps/s",
-        "vs_baseline": round(sps / REFERENCE_STEPS_PER_SEC, 3),
+        "vs_baseline": round(sps_lin / REFERENCE_STEPS_PER_SEC, 3),
+        "extra": {
+            "mqar_mamba2_train_steps_per_sec_per_chip": round(sps_ssd, 3),
+            "eval_eig_sec_per_checkpoint": round(t_eig, 3),
+        },
     }))
 
 

@@ -162,3 +162,54 @@ def test_scan_mode_matches_per_step_loop(tmp_path):
     # different data-order RNGs → not bit-equal, but both must have learned
     # comparably from identical schedules on the same tiny task
     assert abs(perf_scan - perf_step) < 0.15
+
+
+def test_data_parallel_matches_single_device(tmp_path):
+    """The batch-sharded data-parallel path (8 virtual devices, params
+    replicated, gradient all-reduce inserted by XLA) must reproduce the
+    single-device trajectory — identical data order, schedules, and dropout
+    stream, so only reduction-order float noise separates them."""
+    from tlie_tpu.config import ExperimentConfig
+    from tlie_tpu.data import SequenceDataset
+    from tlie_tpu.training import train
+
+    import jax
+
+    assert jax.device_count() >= 8, "conftest must provision 8 virtual devices"
+
+    def run(data_parallel: bool, tag: str):
+        raw = {
+            "seed": 5,
+            "save": str(tmp_path / f"dp-{tag}"),
+            "dataset": {
+                "name": "MQAR", "_name_": "mqar", "input_seq_length": 32,
+                "num_kv_pairs": 4, "vocab_size": 64,
+                "num_train_examples": 128, "num_test_examples": 64,
+                "fixed_size": True,
+            },
+            "train": {
+                "total_steps": 10, "batch_size": 16, "lr": 3e-3, "wd": 0.1,
+                "eval_every": 5, "cosine_anneal": True, "param_group": None,
+                "data_parallel": data_parallel,
+            },
+            "model": {
+                "input_dim": 1, "output_dim": 64, "layer": "transformer",
+                "attention_fn": "lin-attention", "use_flash": False,
+                "num_layers": 1, "hidden_dim": 16, "state_dim": 16,
+                "num_heads": 1, "att_dropout": 0.0, "norm": "layer",
+                "embedding": True, "vocab_size": 64, "max_pos_embed": 32,
+                "mixer": "none", "mixer_dim": 16, "dropout": 0.0,
+                "classifier": False, "pooling": "mean", "dual": False,
+            },
+        }
+        cfg = ExperimentConfig(raw).validate()
+        ds = SequenceDataset.registry["mqar"](**cfg.dataset)
+        ds.setup()
+        cfg.derive_runtime_fields(ds)
+        tl = ds.train_dataloader(batch_size=16, shuffle=True)
+        el = ds.test_dataloader(batch_size=16, shuffle=False)
+        return train(cfg, tl, el, ds.get_metrics(), None)
+
+    _, perf_dp = run(True, "on")
+    _, perf_single = run(False, "off")
+    assert perf_dp == pytest.approx(perf_single, abs=5e-3)

@@ -136,14 +136,22 @@ def load_experiment(path: str | Path) -> ExperimentConfig:
 
 
 def load_sweep(path: str | Path, config_root: str | Path = "configs") -> Tuple[ExperimentConfig, Dict[str, Any]]:
-    """Load a sweep file: returns (base experiment config, sweep mapping)."""
+    """Load a sweep file: returns (base experiment config, sweep mapping).
+
+    ``base_config`` is resolved like the reference (ref launch.py:77-86,
+    relative to the configs root), trying in order: ``config_root``, the
+    sweep file's own directory, and — so reference sweep files work from any
+    checkout unchanged — the sweep file's nearest ``configs/`` ancestor
+    (e.g. ``.../configs/iclr2026/sweep/mqar/...`` resolves ``base_config:
+    iclr2026/mqar/x.yaml`` against ``.../configs/``).
+    """
     sweep_cfg = load_yaml(path)
     base_rel = sweep_cfg["base_config"]
-    base_path = Path(config_root) / base_rel
-    if not base_path.exists():
-        # also allow the base path relative to the sweep file itself
-        alt = Path(path).parent / base_rel
-        base_path = alt if alt.exists() else base_path
+    candidates = [Path(config_root) / base_rel, Path(path).parent / base_rel]
+    for ancestor in Path(path).resolve().parents:
+        if ancestor.name == "configs":
+            candidates.append(ancestor / base_rel)
+    base_path = next((c for c in candidates if c.exists()), candidates[0])
     return load_experiment(base_path), sweep_cfg["sweep"]
 
 

@@ -285,6 +285,10 @@ class Mamba(nn.Module):
 
     def features(self, x):
         """Backbone features before pooling/decoder (fused-xent path)."""
+        if isinstance(x, tuple):
+            # (tokens, lengths) from padded LRA batches — lengths ignored,
+            # matching the reference torch path (ref train.py:96-97)
+            x, _ = x
         if self.dual and x.ndim == 3 and jnp.issubdtype(x.dtype, jnp.integer):
             x = jnp.concatenate([x[:, 0], x[:, 1]], axis=0)
         x = self.encoder(x)

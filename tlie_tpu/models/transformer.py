@@ -69,9 +69,13 @@ class TransformerBlock(nn.Module):
 
         self.use_gate = cfg.get("use_gate", False)
         if self.use_gate:
+            # ref transformer.py:63-65: xavier_uniform_(gain=0.1), bias 1.0;
+            # torch's gain g == jax variance_scaling(g², fan_avg, uniform)
             self.Wz = nn.Dense(
                 d_model,
-                kernel_init=nn.initializers.xavier_uniform(0.1),
+                kernel_init=nn.initializers.variance_scaling(
+                    0.01, "fan_avg", "uniform"
+                ),
                 bias_init=nn.initializers.constant(1.0),
             )
 
@@ -159,6 +163,11 @@ class Transformer(nn.Module):
     def features(self, x):
         """Backbone features before the decoder head — the fused
         softmax-xent path consumes these (ops/fused_xent.py)."""
+        if isinstance(x, tuple):
+            # padded LRA batches arrive as (tokens, lengths); the reference's
+            # torch path ignores lengths entirely (ref train.py:96-97 feeds X
+            # only; ClassifierHead pools unmasked, ref models/common.py:88-115)
+            x, _ = x
         if self.dual and x.ndim == 3 and jnp.issubdtype(x.dtype, jnp.integer):
             # retrieval pairs arrive as (B, 2, L): fold the pair axis into
             # the batch (the reference feeds a 2B batch, ref train/AAN collate)

@@ -4,11 +4,15 @@ The S4 spectra need eigenvalues of a dense complex matrix Ā
 (ref analysis/eval_eig.py:296, host ``np.linalg.eigvals``).  The TPU backend
 has no complex dtype and no nonsymmetric eig, so two paths:
 
-  * ``eigvals_pair`` — default: ``jax.pure_callback`` to numpy's LAPACK
-    eigvals on host.  State dims here are 64–512, so the transfer is tiny;
-    this mirrors the reference's own host hop.
-  * A native on-device Hessenberg+shifted-QR path is planned (SURVEY.md
-    §2.2 K8 north star) and will slot in behind the same API.
+  * ``eigvals_pair(impl="host")`` — default: an explicit host hop
+    (device_get → numpy LAPACK eigvals → device).  Note it is NOT a
+    ``jax.pure_callback`` — the axon TPU runtime does not support callbacks
+    at all — so it must run outside jit, which the analysis pipeline does.
+    State dims here are 64–512, so the transfer is tiny; this mirrors the
+    reference's own host hop and gives bit-parity.
+  * ``eigvals_pair(impl="device")`` — native on-device Hessenberg +
+    shifted-QR in (re, im) pair arithmetic (``ops/eig_device.py``), the
+    SURVEY.md §2.2 K8 north star; tested in tests/test_eig_device.py.
 """
 
 from __future__ import annotations

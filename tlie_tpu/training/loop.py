@@ -41,6 +41,17 @@ def _family_norm(model_config: Dict[str, Any], family: str) -> str:
     return model_config.get("norm", "layer") if family in ("lru", "s4", "s5") else "layer"
 
 
+def _data_mesh(batch_size: int):
+    """1-D ``data`` mesh over all local devices for batch-sharded training
+    (SURVEY.md §2.4) — None when single-device or the batch doesn't divide."""
+    devs = jax.devices()
+    if len(devs) <= 1 or batch_size % len(devs) != 0:
+        return None
+    from jax.sharding import Mesh
+
+    return Mesh(np.asarray(devs), ("data",))
+
+
 def _make_state(config: ExperimentConfig, train_model, integer_inputs: bool):
     model_config = config.model
     train_config = config.train
@@ -185,15 +196,30 @@ def train(
             make_eval_block, make_train_block, put_dataset,
         )
 
+        bsz = train_config["batch_size"]
+        # data parallelism: replicate the device-resident dataset and params
+        # over a 1-D mesh and shard each gathered batch on the ``data`` axis;
+        # XLA inserts the gradient all-reduce over ICI (SURVEY.md §2.4)
+        mesh = _data_mesh(bsz) if train_config.get("data_parallel", True) else None
+        repl = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            repl = NamedSharding(mesh, PartitionSpec())
+            print(f"[train] data-parallel batch sharding over {mesh.size} devices")
+
         train_data = put_dataset(
             np.asarray(trainloader.inputs), np.asarray(trainloader.labels),
             np.asarray(trainloader.lengths) if (padded and trainloader.lengths is not None) else None,
+            sharding=repl,
         )
         test_data = put_dataset(
             np.asarray(testloader.inputs), np.asarray(testloader.labels),
             np.asarray(testloader.lengths) if (padded and testloader.lengths is not None) else None,
+            sharding=repl,
         )
-        bsz = train_config["batch_size"]
+        if repl is not None:
+            state = jax.device_put(state, repl)
         # fused decoder+softmax-CE head (ops/fused_xent.py): exact same loss,
         # logits cube never materialised.  Opt-in: at bench shapes it measured
         # ~10% slower than XLA's bf16 materialised-logits path (fp32 in-kernel
@@ -228,10 +254,11 @@ def train(
             warmup, total_steps, cosine, lr_min,
             group_lr=train_config.get("group_lr", 1e-3),
             fused_head=fused_head,
+            mesh=mesh,
         )
         if fused_head:
             print("[train] fused decoder+softmax-CE head enabled")
-        eval_block = make_eval_block(eval_model, norm, metrics_fn)
+        eval_block = make_eval_block(eval_model, norm, metrics_fn, mesh=mesh)
         eval_idx = eval_indices(len(testloader.inputs), bsz)
         nprng = np.random.default_rng(config.seed)
 

@@ -73,6 +73,20 @@ def _gather_batch(data: DeviceData, idx_t):
     return x, y
 
 
+def _shard_batch(x, y, mesh):
+    """Constrain the gathered batch to be sharded over the mesh's ``data``
+    axis (params stay replicated, so XLA inserts the gradient all-reduce —
+    the 1-D data-parallel scheme of SURVEY.md §2.4)."""
+    if mesh is None:
+        return x, y
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    ns = NamedSharding(mesh, P("data"))
+    c = lambda a: jax.lax.with_sharding_constraint(a, ns)
+    x = (c(x[0]), c(x[1])) if isinstance(x, tuple) else c(x)
+    return x, c(y)
+
+
 def make_train_block(
     model,
     norm: str,
@@ -83,6 +97,7 @@ def make_train_block(
     lr_min: float,
     group_lr: float = 1e-3,
     fused_head: bool = False,
+    mesh=None,
 ):
     """Build a jitted runner for K on-device training steps.
 
@@ -117,6 +132,7 @@ def make_train_block(
         def step_body(carry, idx_t):
             state, step = carry
             x, y = _gather_batch(data, idx_t)
+            x, y = _shard_batch(x, y, mesh)
 
             lrs = {}
             if "regular" in group_names:
@@ -170,7 +186,7 @@ def make_train_block(
     return call
 
 
-def make_eval_block(model, norm: str, metrics_fn: Callable):
+def make_eval_block(model, norm: str, metrics_fn: Callable, mesh=None):
     """Build a jitted scanned evaluation over (n_batches, B)-indexed test
     data → (mean_loss, mean_metric)."""
 
@@ -178,6 +194,7 @@ def make_eval_block(model, norm: str, metrics_fn: Callable):
     def run_eval(state, data: DeviceData, idx):
         def eval_body(_, idx_t):
             x, y = _gather_batch(data, idx_t)
+            x, y = _shard_batch(x, y, mesh)
             if norm == "batch":
                 logits = model.apply(
                     {"params": state.params, "batch_stats": state.batch_stats}, x
