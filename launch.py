@@ -53,6 +53,11 @@ def main(argv=None) -> int:
         "--profile", type=str, default=None, metavar="DIR",
         help="capture a jax.profiler device trace of the run into DIR",
     )
+    parser.add_argument(
+        "--resume", action="store_true", default=False,
+        help="resume from the run's mid-training snapshot if one exists "
+             "(requires train.checkpoint_every in the config)",
+    )
     args = parser.parse_args(argv)
 
     import jax
@@ -66,6 +71,9 @@ def main(argv=None) -> int:
     else:
         cfg = load_experiment(_resolve(args.config))
         sweep = None
+
+    if args.resume:
+        cfg.train["resume"] = True
 
     wandb_config = cfg.raw.pop("wandb", None)
     print("\nCONFIG:")

@@ -213,3 +213,80 @@ def test_data_parallel_matches_single_device(tmp_path):
     _, perf_dp = run(True, "on")
     _, perf_single = run(False, "off")
     assert perf_dp == pytest.approx(perf_single, abs=5e-3)
+
+
+def test_step_resume_matches_uninterrupted_run(tmp_path):
+    """Mid-training snapshot + resume reproduces the uninterrupted run
+    exactly: step counter, LR-schedule position, rng stream and host
+    batch-index stream all continue from the snapshot, so the final perf is
+    bit-identical. Also checks completed runs clean their snapshot up."""
+    import os
+    import shutil
+
+    from tlie_tpu.config import ExperimentConfig
+    from tlie_tpu.data import SequenceDataset
+    from tlie_tpu.training import loop as loop_mod
+    from tlie_tpu.training import train
+
+    def make_cfg(resume=False):
+        raw = {
+            "seed": 11,
+            "save": str(tmp_path / "rs"),
+            "dataset": {
+                "name": "MQAR", "_name_": "mqar", "input_seq_length": 32,
+                "num_kv_pairs": 4, "vocab_size": 64,
+                "num_train_examples": 128, "num_test_examples": 64,
+                "fixed_size": True,
+            },
+            "train": {
+                "total_steps": 16, "batch_size": 16, "lr": 3e-3, "wd": 0.1,
+                "eval_every": 4, "cosine_anneal": True, "param_group": None,
+                "checkpoint_every": 4, **({"resume": True} if resume else {}),
+            },
+            "model": {
+                "input_dim": 1, "output_dim": 64, "layer": "transformer",
+                "attention_fn": "lin-attention", "use_flash": False,
+                "num_layers": 1, "hidden_dim": 16, "state_dim": 16,
+                "num_heads": 1, "att_dropout": 0.0, "norm": "layer",
+                "embedding": True, "vocab_size": 64, "max_pos_embed": 32,
+                "mixer": "none", "mixer_dim": 16, "dropout": 0.0,
+                "classifier": False, "pooling": "mean", "dual": False,
+            },
+        }
+        return ExperimentConfig(raw).validate()
+
+    ds = SequenceDataset.registry["mqar"](**make_cfg().dataset)
+    ds.setup()
+    tl = ds.train_dataloader(batch_size=16, shuffle=True)
+    el = ds.test_dataloader(batch_size=16, shuffle=False)
+
+    def run(cfg):
+        cfg.derive_runtime_fields(ds)
+        return train(cfg, tl, el, ds.get_metrics(), None)
+
+    # Uninterrupted 16-step run, keeping a copy of the step-8 snapshot (the
+    # state a preempted job would find on disk).
+    snap_at_8 = {}
+    orig_save = loop_mod.save_resume
+
+    def capture(path, state, meta):
+        out = orig_save(path, state, meta)
+        if int(meta["step"]) == 8:
+            snap_at_8["dir"] = shutil.copytree(out, out + "-at8")
+        return out
+
+    loop_mod.save_resume = capture
+    try:
+        _, perf_full = run(make_cfg())
+    finally:
+        loop_mod.save_resume = orig_save
+    assert "dir" in snap_at_8, "no snapshot written at step 8"
+
+    resume_dir = make_cfg().checkpoint_name() + "-resume"
+    assert not os.path.isdir(resume_dir)  # completed run cleaned up
+
+    # "Preempted" job: put the step-8 snapshot in place and resume to 16.
+    shutil.copytree(snap_at_8["dir"], resume_dir)
+    _, perf_resumed = run(make_cfg(resume=True))
+
+    assert perf_resumed == pytest.approx(perf_full, abs=1e-6)

@@ -35,3 +35,30 @@ def restore_checkpoint(path: str) -> Dict[str, Any]:
     """Raw-restore a checkpoint directory into nested dicts."""
     checkpointer = ocp.PyTreeCheckpointer()
     return checkpointer.restore(_abspath(path))
+
+
+def save_resume(path: str, state, meta: Dict[str, Any]) -> str:
+    """Mid-training resume snapshot: ``{"model": TrainState, "meta": {...}}``.
+
+    The reference has no mid-training resume at all (SURVEY.md §5) — this is
+    the preemption-recovery improvement for long WikiText-scale runs on
+    shared TPUs.  Written atomically (tmp dir + rename) so a preemption
+    mid-save never corrupts the previous snapshot.
+    """
+    final = _abspath(path)
+    tmp = final + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    ocp.PyTreeCheckpointer().save(tmp, {"model": state, "meta": meta})
+    if os.path.exists(final):
+        shutil.rmtree(final)
+    os.rename(tmp, final)
+    return final
+
+
+def restore_resume(path: str, state_template, meta_template: Dict[str, Any]):
+    """Typed restore of a resume snapshot (templates give orbax the pytree
+    structure, so TrainState/optax nodes come back as the right types)."""
+    return ocp.PyTreeCheckpointer().restore(
+        _abspath(path), item={"model": state_template, "meta": meta_template}
+    )

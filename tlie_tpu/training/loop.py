@@ -23,9 +23,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os
+import shutil
+
 from ..config import ExperimentConfig
 from ..models.registry import build_models
-from .checkpoint import save_checkpoint
+from .checkpoint import restore_resume, save_checkpoint, save_resume
 from .schedules import PlateauState, reduce_lr_on_plateau, schedule_for_step
 from .state import (
     create_train_state,
@@ -262,16 +265,67 @@ def train(
         eval_idx = eval_indices(len(testloader.inputs), bsz)
         nprng = np.random.default_rng(config.seed)
 
+        # mid-training step-resume (an improvement over the reference, which
+        # only saves at the end — SURVEY.md §5): snapshot every
+        # ``checkpoint_every`` steps; ``resume: true`` (or --resume) picks the
+        # run back up with the exact step counter, schedules, plateau state,
+        # rng stream and host batch-index stream.
+        ckpt_stem = config.checkpoint_name()
+        checkpoint_every = train_config.get("checkpoint_every")
+        resume_dir = (
+            ckpt_stem + "-resume" if (ckpt_stem and checkpoint_every) else None
+        )
+        steps_since_snap = 0
+        if resume_dir and train_config.get("resume") and os.path.isdir(resume_dir):
+            meta_t = {
+                "step": 0,
+                "plateau": {"lr": 0.0, "ssm_lr": 0.0, "count": 0, "best": 0.0},
+                "best": {"perf": 0.0, "loss": 0.0, "step": 0},
+                "train_rng": train_rng,
+            }
+            restored = restore_resume(resume_dir, state, meta_t)
+            state, meta = restored["model"], restored["meta"]
+            step = int(meta["step"])
+            p = meta["plateau"]
+            plateau = PlateauState(
+                float(p["lr"]), float(p["ssm_lr"]), int(p["count"]), float(p["best"])
+            )
+            best_perf = float(meta["best"]["perf"])
+            best_loss = float(meta["best"]["loss"])
+            best_step = int(meta["best"]["step"])
+            train_rng = jnp.asarray(meta["train_rng"])
+            # replay the deterministic host batch-index stream to the
+            # restored step so the data order continues exactly
+            s = 0
+            while s < step:
+                k = int(min(eval_every, total_steps - s))
+                batch_indices(nprng, len(trainloader.inputs), bsz, k)
+                s += k
+            print(f"[train] resumed at step {step} from {resume_dir}")
+
+        # One eval period = one host-side index draw (keeps the rng stream —
+        # and therefore resume replay — independent of dispatch size), but
+        # dispatched in sub-blocks of ≤ block_cap scanned steps: very long
+        # single XLA executions (≳1e3 steps at LRA shapes) can exceed the
+        # remote runtime's execution limits and crash the worker.
+        block_cap = int(train_config.get("block_cap", 480))
+
         while step < total_steps and not stop_training:
             k = int(min(eval_every, total_steps - step))
             idx = batch_indices(nprng, len(trainloader.inputs), bsz, k)
             train_rng, block_rng = jax.random.split(train_rng)
-            state, train_loss = train_block(
-                state, block_rng, train_data, idx, step, plateau.lr, plateau.ssm_lr
-            )
+            losses, done = [], 0
+            while done < k:
+                kk = min(block_cap, k - done)
+                state, sub_loss = train_block(
+                    state, block_rng, train_data, idx[done : done + kk],
+                    step + done, plateau.lr, plateau.ssm_lr,
+                )
+                losses.append((float(sub_loss), kk))
+                done += kk
             step += k
             loss_v, perf_v = eval_block(state, test_data, eval_idx)
-            train_loss = float(train_loss)
+            train_loss = sum(l * n for l, n in losses) / k
             test_loss, test_perf = float(loss_v), float(perf_v)
             elapsed = time.perf_counter() - t_start
             sps = (step - steps_timed) / max(elapsed, 1e-9)
@@ -307,6 +361,21 @@ def train(
                     f"criterion {stop_criterion}"
                 )
                 stop_training = True
+            steps_since_snap += k
+            if resume_dir and steps_since_snap >= checkpoint_every and not stop_training and step < total_steps:
+                save_resume(resume_dir, state, {
+                    "step": step,
+                    "plateau": {"lr": plateau.lr, "ssm_lr": plateau.ssm_lr,
+                                "count": plateau.count, "best": plateau.best},
+                    "best": {"perf": best_perf, "loss": best_loss,
+                             "step": best_step},
+                    "train_rng": train_rng,
+                })
+                steps_since_snap = 0
+                print(f"[train] resume snapshot at step {step}")
+
+        if resume_dir and os.path.isdir(resume_dir):
+            shutil.rmtree(resume_dir)  # run completed; snapshot obsolete
 
     while not use_scan and step < total_steps and not stop_training:
         for batch in trainloader:

@@ -232,17 +232,21 @@ def emit(task: str, name: str, model: dict, train_extra: dict | None = None,
 def main():
     for task in DATASETS:
         ssm_tr = SSM_TRAIN[task]
+        # reference listops splits batch size by family: ssm/mamba train at
+        # batch 50, attention at batch 8 (ref listops/listops-{s4,lru,mamba2}
+        # vs listops-{lin,sm,norm-attention}*.yaml)
+        ssm_bsz = {"batch_size": 50} if task == "listops" else {}
         # SSM families
-        emit(task, "lru", ssm_model(task, "lru"), ssm_tr)
-        emit(task, "s4", ssm_model(task, "s4"), ssm_tr)
-        emit(task, "s5", ssm_model(task, "s5"), ssm_tr)
+        emit(task, "lru", ssm_model(task, "lru"), {**ssm_tr, **ssm_bsz})
+        emit(task, "s4", ssm_model(task, "s4"), {**ssm_tr, **ssm_bsz})
+        emit(task, "s5", ssm_model(task, "s5"), {**ssm_tr, **ssm_bsz})
         # transformer families
         for kind, suffix in (("lin", "lin-attention"), ("sm", "sm-attention"),
                              ("norm", "norm-attention-conv")):
             emit(task, suffix, transformer_model(task, kind),
                  {"lr": ATT_LR[(task, kind)]})
         # mamba
-        emit(task, "mamba2", mamba_model(task), MAMBA_TRAIN[task])
+        emit(task, "mamba2", mamba_model(task), {**MAMBA_TRAIN[task], **ssm_bsz})
 
     # CIFAR extra variants (ref has 15 cifar configs)
     emit("cifar", "mamba2-pseudoLTI", mamba_model("cifar", {"pseudoLTI": True}),
