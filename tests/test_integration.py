@@ -192,3 +192,44 @@ def test_mqar_random_non_queries_fills_zeros():
         num_kv_pairs=4, random_non_queries=True,
     )
     assert (inputs == 0).mean() < 0.05  # zeros replaced (a random 0 may remain)
+
+
+@pytest.mark.slow
+def test_padded_listops_attention_end_to_end(tmp_path):
+    """Attention families on a PADDED dataset (fixed_size=False → batches are
+    (tokens, lengths) tuples): the models must unpack and ignore lengths like
+    the reference torch path (regression for the round-2 fix in
+    transformer/mamba2 features())."""
+    from tlie_tpu.training import train
+
+    raw = {
+        "seed": 7,
+        "save": str(tmp_path / "ck-listops-att"),
+        "dataset": {
+            "name": "LISTOPS", "_name_": "listops", "data_dir": None,
+            "fixed_size": False, "l_max": 64, "num_train": 128,
+            "num_test": 64, "min_length": 20, "max_length": 60,
+        },
+        "train": {
+            "num_epochs": 2, "batch_size": 16, "lr": 1e-3, "wd": 0.1,
+            "cosine_anneal": True, "param_group": None, "warmup": 0,
+        },
+        "model": {
+            "input_dim": 1, "output_dim": 10, "layer": "transformer",
+            "attention_fn": "lin-attention", "use_flash": False,
+            "num_layers": 1, "hidden_dim": 16, "state_dim": 16,
+            "num_heads": 1, "att_dropout": 0.0, "norm": "layer",
+            "embedding": True, "vocab_size": 18, "max_pos_embed": 64,
+            "mixer": "mlp", "mixer_dim": 16, "dropout": 0.0,
+            "classifier": True, "pooling": "mean", "dual": False,
+        },
+    }
+    cfg = ExperimentConfig(raw).validate()
+    ds = SequenceDataset.registry["listops"](**cfg.dataset)
+    ds.setup()
+    cfg.derive_runtime_fields(ds)
+    assert cfg.train["padded"] is True
+    tl = ds.train_dataloader(batch_size=16, shuffle=True)
+    el = ds.test_dataloader(batch_size=16, shuffle=False)
+    path, perf = train(cfg, tl, el, ds.get_metrics(), None)
+    assert path is not None and 0.0 <= perf <= 1.0
