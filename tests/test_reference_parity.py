@@ -223,3 +223,148 @@ def test_softmax_eta_vs_actual_reference_source():
         )
     )
     np.testing.assert_allclose(eta, eta_ref, rtol=1e-5, atol=1e-5)
+
+
+def _ref_eval_eig_fn(name, torch, einops):
+    """Extract one extractor function from the reference's eval_eig.py by AST
+    (the module itself imports CUDA-only libs).  A torch shim strips the
+    hardcoded device='cuda' in get_eig_att_linear (ref eval_eig.py:110-111)."""
+    import ast
+
+    class _TorchShim:
+        def __getattr__(self, attr):
+            return getattr(torch, attr)
+
+        @staticmethod
+        def ones(*a, **kw):
+            kw.pop("device", None)
+            return torch.ones(*a, **kw)
+
+    src = open(os.path.join(REF, "analysis", "eval_eig.py")).read()
+    tree = ast.parse(src)
+    fn_node = next(
+        n for n in tree.body
+        if isinstance(n, ast.FunctionDef) and n.name == name
+    )
+    ns = {"torch": _TorchShim(), "einops": einops, "np": np,
+          "F": torch.nn.functional}
+    exec(compile(ast.Module([fn_node], []), "eval_eig.py", "exec"), ns)
+    return ns[name]
+
+
+def test_linear_eta_vs_actual_reference_source():
+    torch = pytest.importorskip("torch")
+    einops = pytest.importorskip("einops")
+    ref_fn = _ref_eval_eig_fn("get_eig_att_linear", torch, einops)
+
+    B, L, D, H = 2, 24, 8, 2
+    d_qk = D
+    g = torch.Generator().manual_seed(3)
+    wqkv = torch.nn.Linear(D, 2 * d_qk + D)
+    with torch.no_grad():
+        wqkv.weight.copy_(torch.randn(2 * d_qk + D, D, generator=g) * 0.3)
+        wqkv.bias.copy_(torch.randn(2 * d_qk + D, generator=g) * 0.1)
+    x = torch.randn(B, L, D, generator=g)
+
+    class _Attn:
+        Wqkv = wqkv
+        head_dim = d_qk // H
+
+    class _Layer:
+        attention = _Attn()
+
+    with torch.no_grad():
+        eta_ref = ref_fn(x, _Layer(), d_qk, H, D)[..., 0]
+
+    from tlie_tpu.analysis.extractors import eig_att_linear
+
+    eta = np.asarray(eig_att_linear(
+        jnp.asarray(x.numpy()),
+        jnp.asarray(wqkv.weight.detach().numpy().T),
+        jnp.asarray(wqkv.bias.detach().numpy()),
+        d_qk, D, H,
+    ))
+    np.testing.assert_allclose(eta, eta_ref, rtol=1e-5, atol=1e-5)
+
+
+def test_norm_eta_vs_actual_reference_source():
+    torch = pytest.importorskip("torch")
+    einops = pytest.importorskip("einops")
+    ref_fn = _ref_eval_eig_fn("get_eig_att_norm", torch, einops)
+
+    B, L, D, H = 2, 20, 8, 2
+    d_qk = 4
+    width = D + 2 * d_qk + H
+    g = torch.Generator().manual_seed(5)
+    wvqkn = torch.nn.Linear(D, width)
+    with torch.no_grad():
+        wvqkn.weight.copy_(torch.randn(width, D, generator=g) * 0.3)
+        wvqkn.bias.copy_(torch.randn(width, generator=g) * 0.1)
+    offset = torch.rand(H, generator=g) + 0.5
+    x = torch.randn(B, L, D, generator=g)
+
+    class _Inner:
+        pass
+
+    class _Attn:
+        Wvqkn = wvqkn
+        inner_attn = _Inner()
+
+    _Attn.inner_attn.offset = offset
+
+    class _Layer:
+        attention = _Attn()
+
+    model_config = {"norm_fn": "softplus", "approx_fn": "none", "offset": True}
+    with torch.no_grad():
+        eta_ref = ref_fn(x, _Layer(), d_qk, H, D, model_config)[..., 0]
+
+    from tlie_tpu.analysis.extractors import eig_att_norm
+
+    eta = np.asarray(eig_att_norm(
+        jnp.asarray(x.numpy()),
+        jnp.asarray(wvqkn.weight.detach().numpy().T),
+        jnp.asarray(wvqkn.bias.detach().numpy()),
+        d_qk, D, H, norm_fn="softplus", offset=jnp.asarray(offset.numpy()),
+    ))
+    np.testing.assert_allclose(eta, eta_ref, rtol=1e-5, atol=1e-6)
+
+
+def test_mamba2_lambda_vs_actual_reference_source():
+    torch = pytest.importorskip("torch")
+    einops = pytest.importorskip("einops")
+    ref_fn = _ref_eval_eig_fn("get_eig_mamba2", torch, einops)
+
+    B, L, D = 2, 12, 16
+    d_inner, ngroups, d_state, nheads = 16, 1, 4, 2
+    width = d_inner + 2 * ngroups * d_state + nheads
+    g = torch.Generator().manual_seed(9)
+    in_proj = torch.nn.Linear(D, width, bias=False)
+    with torch.no_grad():
+        in_proj.weight.copy_(torch.randn(width, D, generator=g) * 0.3)
+    A_log = torch.randn(nheads, generator=g) * 0.4
+    dt_bias = torch.randn(nheads, generator=g) * 0.2
+    x = torch.randn(B, L, D, generator=g)
+
+    class _M:
+        pass
+
+    m = _M()
+    m.in_proj, m.A_log, m.dt_bias = in_proj, A_log, dt_bias
+    m.d_inner, m.ngroups, m.d_state, m.nheads = d_inner, ngroups, d_state, nheads
+
+    class _Layer:
+        mamba = m
+
+    with torch.no_grad():
+        lam_ref = ref_fn(x, _Layer())[..., 0]
+
+    from tlie_tpu.analysis.extractors import eig_mamba2
+
+    lam = np.asarray(eig_mamba2(
+        jnp.asarray(x.numpy()),
+        jnp.asarray(in_proj.weight.detach().numpy().T), None,
+        jnp.asarray(dt_bias.numpy()), jnp.asarray(A_log.numpy()),
+        d_inner, ngroups, d_state, nheads,
+    ))
+    np.testing.assert_allclose(lam, lam_ref, rtol=1e-5, atol=1e-6)
