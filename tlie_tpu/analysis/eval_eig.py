@@ -195,6 +195,10 @@ def eval_eig(
 ):
     """Full spectra pipeline; signature parity with ref eval_eig.py:462."""
     model_config = dict(args["model"])
+    # spectra are extracted in full precision regardless of the training
+    # compute dtype: the bf16 mixed-precision mode is a throughput knob only,
+    # the BASELINE 1e-5 spectra-parity target always runs f32
+    model_config.pop("compute_dtype", None)
     seed = args["seed"]
     num_layers = model_config["num_layers"]
     family = model_config["layer"]

@@ -19,7 +19,7 @@ scores from the same parameter blocks.
 from __future__ import annotations
 
 import math
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -87,6 +87,7 @@ class MHA(nn.Module):
     use_flash: bool = True
     conv_type: str = "full"
     deterministic: bool = True
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x):
@@ -95,17 +96,22 @@ class MHA(nn.Module):
         v_dim = self.d_model // self.num_heads
         L = x.shape[-2]
 
-        qkv = nn.Dense(2 * d_qk + self.d_model, use_bias=self.bias, name="Wqkv")(x)
+        qkv = nn.Dense(
+            2 * d_qk + self.d_model, use_bias=self.bias, name="Wqkv", dtype=self.dtype
+        )(x)
 
         if self.dim_conv > 0:
             if self.conv_type == "full":
                 conv = DepthwiseCausalConv(
-                    self.d_model + 2 * d_qk, self.dim_conv, name="conv1d"
+                    self.d_model + 2 * d_qk, self.dim_conv, name="conv1d",
+                    dtype=self.dtype,
                 )
                 qkv = jax.nn.silu(conv(qkv))
             else:
                 qk, v = qkv[..., : 2 * d_qk], qkv[..., 2 * d_qk :]
-                conv = DepthwiseCausalConv(2 * d_qk, self.dim_conv, name="conv1d")
+                conv = DepthwiseCausalConv(
+                    2 * d_qk, self.dim_conv, name="conv1d", dtype=self.dtype
+                )
                 qk = jax.nn.silu(conv(qk))
                 qkv = jnp.concatenate([qk, v], axis=-1)
 
@@ -126,14 +132,20 @@ class MHA(nn.Module):
             impl = None
             if not self.use_flash or head_dim != v_dim:
                 impl = "xla"
+            # softmax row-max/exp run f32 regardless of compute dtype; the
+            # bf16 win here is the projections and the qkv tensors above
+            f32 = jnp.promote_types(q.dtype, jnp.float32)
             context = causal_softmax_attention(
-                q, k, v, scale=1.0 / math.sqrt(head_dim), impl=impl
+                q.astype(f32), k.astype(f32), v.astype(f32),
+                scale=1.0 / math.sqrt(head_dim), impl=impl,
             )
             context = nn.Dropout(self.dropout, deterministic=self.deterministic)(
                 context
             )
 
-        return nn.Dense(self.d_model, name="out_proj")(_merge_heads(context))
+        return nn.Dense(self.d_model, name="out_proj", dtype=self.dtype)(
+            _merge_heads(context)
+        )
 
 
 class MHNA(nn.Module):
@@ -153,6 +165,7 @@ class MHNA(nn.Module):
     bias: bool = True
     conv_type: str = "full"
     deterministic: bool = True
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x):
@@ -160,20 +173,25 @@ class MHNA(nn.Module):
         head_dim = d_qk // self.num_heads
 
         vqkn = nn.Dense(
-            self.d_model + 2 * d_qk + self.num_heads, use_bias=self.bias, name="Wvqkn"
+            self.d_model + 2 * d_qk + self.num_heads, use_bias=self.bias,
+            name="Wvqkn", dtype=self.dtype,
         )(x)
         vqk = vqkn[..., : self.d_model + 2 * d_qk]
-        n = vqkn[..., self.d_model + 2 * d_qk :]  # (B, L, H)
+        # the learned normaliser decay is f32 throughout (it exponentiates)
+        n = vqkn[..., self.d_model + 2 * d_qk :].astype(jnp.float32)  # (B, L, H)
 
         if self.dim_conv > 0:
             if self.conv_type == "full":
                 conv = DepthwiseCausalConv(
-                    self.d_model + 2 * d_qk, self.dim_conv, name="conv1d"
+                    self.d_model + 2 * d_qk, self.dim_conv, name="conv1d",
+                    dtype=self.dtype,
                 )
                 vqk = jax.nn.silu(conv(vqk))
             else:
                 v_part, qk = vqk[..., : self.d_model], vqk[..., self.d_model :]
-                conv = DepthwiseCausalConv(2 * d_qk, self.dim_conv, name="conv1d")
+                conv = DepthwiseCausalConv(
+                    2 * d_qk, self.dim_conv, name="conv1d", dtype=self.dtype
+                )
                 qk = jax.nn.silu(conv(qk))
                 vqk = jnp.concatenate([v_part, qk], axis=-1)
 
@@ -203,6 +221,8 @@ class MHNA(nn.Module):
         else:
             n = jnp.exp(-nf(n))
 
-        output = n[..., None] * output
+        output = n.astype(output.dtype)[..., None] * output
         output = nn.Dropout(self.dropout, deterministic=self.deterministic)(output)
-        return nn.Dense(self.d_model, name="out_proj")(_merge_heads(output))
+        return nn.Dense(self.d_model, name="out_proj", dtype=self.dtype)(
+            _merge_heads(output)
+        )

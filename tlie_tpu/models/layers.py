@@ -10,7 +10,7 @@ embeddings, and the LRA-retrieval MATCH head.  All natively batched
 from __future__ import annotations
 
 import math
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -24,14 +24,15 @@ class MLP(nn.Module):
     output_dim: Optional[int] = None
     dropout: float = 0.0
     deterministic: bool = True
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x):
         out_dim = self.output_dim if self.output_dim is not None else x.shape[-1]
-        x = nn.Dense(self.mlp_dim, name="encoder")(x)
+        x = nn.Dense(self.mlp_dim, name="encoder", dtype=self.dtype)(x)
         x = nn.gelu(x)
         x = nn.Dropout(self.dropout, deterministic=self.deterministic)(x)
-        x = nn.Dense(out_dim, name="decoder")(x)
+        x = nn.Dense(out_dim, name="decoder", dtype=self.dtype)(x)
         return nn.Dropout(self.dropout, deterministic=self.deterministic)(x)
 
 
@@ -40,11 +41,12 @@ class GLU(nn.Module):
 
     dropout: float = 0.0
     deterministic: bool = True
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x):
         d = x.shape[-1]
-        out = nn.Dense(2 * d, name="linear")(x)
+        out = nn.Dense(2 * d, name="linear", dtype=self.dtype)(x)
         out = out[..., :d] * jax.nn.sigmoid(out[..., d:])
         return nn.Dropout(self.dropout, deterministic=self.deterministic)(out)
 
@@ -56,18 +58,19 @@ class LAMBDA(nn.Module):
     init: float = 0.5
     dropout: float = 0.0
     deterministic: bool = True
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x):
         d = x.shape[-1]
-        xz = nn.Dense(2 * d, name="encoder")(x)
+        xz = nn.Dense(2 * d, name="encoder", dtype=self.dtype)(x)
         alpha_init = -math.log(1.0 / self.init - 1.0)
         alpha = self.param("alpha", lambda rng, shape: jnp.full(shape, alpha_init), (1,))
         a = jax.nn.sigmoid(alpha)
 
         glu_out = xz[..., :d] * jax.nn.sigmoid(xz[..., d:])
         mlp_h = nn.Dropout(self.dropout, deterministic=self.deterministic)(nn.gelu(xz))
-        mlp_out = nn.Dense(d, name="decoder")(mlp_h)
+        mlp_out = nn.Dense(d, name="decoder", dtype=self.dtype)(mlp_h)
 
         out = a * glu_out + (1 - a) * mlp_out
         return nn.Dropout(self.dropout, deterministic=self.deterministic)(out)
@@ -105,17 +108,21 @@ class TokenEmbeddings(nn.Module):
     embed_dim: int
     vocab_size: int
     max_position_embeddings: int = 0
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, input_ids, position_ids=None):
-        emb = nn.Embed(self.vocab_size, self.embed_dim, name="word_embeddings")(
-            input_ids
-        )
+        emb = nn.Embed(
+            self.vocab_size, self.embed_dim, name="word_embeddings", dtype=self.dtype
+        )(input_ids)
         if self.max_position_embeddings > 0:
             if position_ids is None:
                 position_ids = jnp.arange(input_ids.shape[-1])
             emb = emb + nn.Embed(
-                self.max_position_embeddings, self.embed_dim, name="position_embeddings"
+                self.max_position_embeddings,
+                self.embed_dim,
+                name="position_embeddings",
+                dtype=self.dtype,
             )(position_ids)
         return emb
 
@@ -140,6 +147,7 @@ class DepthwiseCausalConv(nn.Module):
 
     dim: int
     kernel_size: int
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x):
@@ -157,4 +165,8 @@ class DepthwiseCausalConv(nn.Module):
             lambda rng, shape: jax.random.uniform(rng, shape, minval=-k, maxval=k),
             (self.dim,),
         )
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            weight = weight.astype(self.dtype)
+            bias = bias.astype(self.dtype)
         return depthwise_causal_conv1d(x, weight, bias)

@@ -14,7 +14,7 @@ per-head constant β=1 as the step, A = −softplus(A) with init uniform in
 from __future__ import annotations
 
 import math
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -49,6 +49,7 @@ class SSD(nn.Module):
     chunk_size: int = 256
     bias: bool = False
     deterministic: bool = True
+    dtype: Optional[Any] = None
 
     @property
     def d_inner(self):
@@ -65,7 +66,9 @@ class SSD(nn.Module):
         conv_dim = d_inner + 2 * g * n
 
         d_in_proj = d_inner + 2 * g * n + nheads
-        xbcdt = nn.Dense(d_in_proj, use_bias=self.bias, name="in_proj")(u)
+        xbcdt = nn.Dense(
+            d_in_proj, use_bias=self.bias, name="in_proj", dtype=self.dtype
+        )(u)
 
         dt_bias = self.param(
             "dt_bias",
@@ -87,11 +90,14 @@ class SSD(nn.Module):
 
         xBC = xbcdt[..., :conv_dim]
         dt = xbcdt[..., conv_dim:]
+        # dt/A decay math always runs f32 (bf16 xbcdt + f32 dt_bias promotes)
         dt = jax.nn.softplus(dt + dt_bias)  # (B, L, nheads)
 
         if self.d_conv > 0:
             xBC = jax.nn.silu(
-                DepthwiseCausalConv(conv_dim, self.d_conv, name="conv1d")(xBC)
+                DepthwiseCausalConv(
+                    conv_dim, self.d_conv, name="conv1d", dtype=self.dtype
+                )(xBC)
             )
 
         x = xBC[..., :d_inner]
@@ -109,7 +115,9 @@ class SSD(nn.Module):
             D=D,
         )
         y = y.reshape(bsz, L, d_inner)
-        return nn.Dense(self.d_model, use_bias=self.bias, name="out_proj")(y)
+        return nn.Dense(
+            self.d_model, use_bias=self.bias, name="out_proj", dtype=self.dtype
+        )(y)
 
 
 class SSD_LTI(nn.Module):
@@ -128,6 +136,7 @@ class SSD_LTI(nn.Module):
     chunk_size: int = 256
     bias: bool = False
     deterministic: bool = True
+    dtype: Optional[Any] = None
 
     @property
     def d_inner(self):
@@ -146,7 +155,9 @@ class SSD_LTI(nn.Module):
         khead_dim = (n * g) // nheads
 
         d_in_proj = d_inner + 2 * g * n + g
-        xbcdt = nn.Dense(d_in_proj, use_bias=self.bias, name="in_proj")(u)
+        xbcdt = nn.Dense(
+            d_in_proj, use_bias=self.bias, name="in_proj", dtype=self.dtype
+        )(u)
 
         dt_bias = self.param(
             "dt_bias",
@@ -168,7 +179,9 @@ class SSD_LTI(nn.Module):
 
         if self.d_conv > 0:
             xBC = jax.nn.silu(
-                DepthwiseCausalConv(conv_dim, self.d_conv, name="conv1d")(xBC)
+                DepthwiseCausalConv(
+                    conv_dim, self.d_conv, name="conv1d", dtype=self.dtype
+                )(xBC)
             )
 
         x = xBC[..., :d_inner]
@@ -178,7 +191,7 @@ class SSD_LTI(nn.Module):
         bsz, L = x.shape[0], x.shape[1]
         # fold the input-dependent step into B; the scan uses β ≡ 1
         dt_full = jnp.repeat(dt, khead_dim, axis=-1)  # (B, L, g*n)
-        B_mat = dt_full * B_mat
+        B_mat = (dt_full * B_mat).astype(x.dtype)
         beta = jnp.ones((bsz, L, nheads))
 
         y = ssd_chunked_scan(
@@ -191,7 +204,9 @@ class SSD_LTI(nn.Module):
             D=D,
         )
         y = y.reshape(bsz, L, d_inner)
-        return nn.Dense(self.d_model, use_bias=self.bias, name="out_proj")(y)
+        return nn.Dense(
+            self.d_model, use_bias=self.bias, name="out_proj", dtype=self.dtype
+        )(y)
 
 
 class MambaBlock(nn.Module):
@@ -210,6 +225,7 @@ class MambaBlock(nn.Module):
     prenorm: bool
     pseudoLTI: bool
     deterministic: bool = True
+    dtype: Optional[Any] = None
 
     def setup(self):
         if self.version != "mamba2":
@@ -222,8 +238,13 @@ class MambaBlock(nn.Module):
             expand=self.expansion,
             headdim=self.headdim,
             deterministic=self.deterministic,
+            dtype=self.dtype,
         )
-        self.glu_layer = GLU(deterministic=self.deterministic) if self.glu else None
+        self.glu_layer = (
+            GLU(deterministic=self.deterministic, dtype=self.dtype)
+            if self.glu
+            else None
+        )
         if self.norm != "layer":
             raise RuntimeError("only layer norm is supported for Mamba blocks")
         self.norm_layer = nn.LayerNorm()
@@ -257,11 +278,14 @@ class Mamba(nn.Module):
         headdim = hidden_dim // cfg["num_heads"]
         self.pooling = cfg["pooling"]
         self.dual = cfg.get("dual", False)
+        # opt-in mixed precision: activations/matmuls bf16, params and the
+        # decay/normalizer math f32 (see README performance notes)
+        dtype = jnp.bfloat16 if cfg.get("compute_dtype") == "bfloat16" else None
 
         if cfg.get("token_embedding", False):
-            self.encoder = TokenEmbeddings(hidden_dim, cfg["vocab_size"], 0)
+            self.encoder = TokenEmbeddings(hidden_dim, cfg["vocab_size"], 0, dtype=dtype)
         else:
-            self.encoder = nn.Dense(hidden_dim)
+            self.encoder = nn.Dense(hidden_dim, dtype=dtype)
         self.blocks = [
             MambaBlock(
                 version=cfg["version"],
@@ -276,10 +300,11 @@ class Mamba(nn.Module):
                 prenorm=cfg["prenorm"],
                 pseudoLTI=cfg.get("pseudoLTI", False),
                 deterministic=self.deterministic,
+                dtype=dtype,
             )
             for _ in range(cfg["num_layers"])
         ]
-        self.decoder = nn.Dense(cfg["output_dim"])
+        self.decoder = nn.Dense(cfg["output_dim"], dtype=dtype)
         if self.dual:
             self.match = MATCH(cfg["output_dim"], cfg["output_dim"])
 

@@ -36,6 +36,7 @@ class TransformerBlock(nn.Module):
         conv_type = cfg.get("conv_type", "full")
         use_flash = cfg.get("use_flash", False)
         attention_fn = cfg["attention_fn"]
+        dtype = jnp.bfloat16 if cfg.get("compute_dtype") == "bfloat16" else None
 
         if attention_fn in ("sm-attention", "lin-attention"):
             self.attention = MHA(
@@ -48,6 +49,7 @@ class TransformerBlock(nn.Module):
                 use_flash=use_flash,
                 conv_type=conv_type,
                 deterministic=self.deterministic,
+                dtype=dtype,
             )
         elif attention_fn == "norm-attention":
             self.attention = MHNA(
@@ -63,6 +65,7 @@ class TransformerBlock(nn.Module):
                 dropout=att_dropout,
                 conv_type=conv_type,
                 deterministic=self.deterministic,
+                dtype=dtype,
             )
         else:
             raise RuntimeError(f"attention_fn {attention_fn} not implemented")
@@ -77,18 +80,25 @@ class TransformerBlock(nn.Module):
                     0.01, "fan_avg", "uniform"
                 ),
                 bias_init=nn.initializers.constant(1.0),
+                dtype=dtype,
             )
 
         mixer = cfg["mixer"]
         dropout = cfg["dropout"]
         if mixer == "mlp":
-            self.mixer = MLP(cfg["mixer_dim"], dropout=dropout, deterministic=self.deterministic)
+            self.mixer = MLP(
+                cfg["mixer_dim"], dropout=dropout,
+                deterministic=self.deterministic, dtype=dtype,
+            )
             self.drop_skip = False
         elif mixer == "glu":
-            self.mixer = GLU(deterministic=self.deterministic)
+            self.mixer = GLU(deterministic=self.deterministic, dtype=dtype)
             self.drop_skip = False
         elif mixer == "hybrid":
-            self.mixer = LAMBDA(init=0.2, dropout=dropout, deterministic=self.deterministic)
+            self.mixer = LAMBDA(
+                init=0.2, dropout=dropout,
+                deterministic=self.deterministic, dtype=dtype,
+            )
             self.drop_skip = False
         elif mixer == "none":
             self.mixer = None
@@ -136,13 +146,15 @@ class Transformer(nn.Module):
         hidden_dim = cfg["hidden_dim"]
         self.dual = cfg.get("dual", False)
         self.classify = cfg.get("classifier", False)
+        dtype = jnp.bfloat16 if cfg.get("compute_dtype") == "bfloat16" else None
 
         if cfg.get("embedding", False):
             self.encoder = TokenEmbeddings(
-                hidden_dim, cfg["vocab_size"], cfg.get("max_pos_embed", 0)
+                hidden_dim, cfg["vocab_size"], cfg.get("max_pos_embed", 0),
+                dtype=dtype,
             )
         else:
-            self.encoder = nn.Dense(hidden_dim)
+            self.encoder = nn.Dense(hidden_dim, dtype=dtype)
         self.layers = [
             TransformerBlock(hidden_dim, cfg, deterministic=self.deterministic)
             for _ in range(cfg["num_layers"])
@@ -152,7 +164,7 @@ class Transformer(nn.Module):
                 cfg["mixer_dim"], cfg["output_dim"], cfg["pooling"]
             )
         else:
-            self.decoder = nn.Dense(cfg["output_dim"], use_bias=False)
+            self.decoder = nn.Dense(cfg["output_dim"], use_bias=False, dtype=dtype)
         if self.dual:
             self.match = MATCH(cfg["mixer_dim"], cfg["output_dim"])
         if cfg["norm"] != "layer":

@@ -77,9 +77,12 @@ def chunked_linear_attention(
     att = jnp.where(causal, att, jnp.zeros((), att.dtype))
     y_intra = jnp.einsum("bchij,bcjhe->bcihe", att, vc)
 
-    # Inter-chunk: exclusive prefix sum of per-chunk KV summaries.
+    # Inter-chunk: exclusive prefix sum of per-chunk KV summaries. The
+    # running state accumulates in f32 even for bf16 inputs (the prefix sum
+    # compounds rounding); the query contraction drops back to input dtype.
     S = jnp.einsum("bcjhd,bcjhe->bchde", kc, vc)
-    S_prefix = jnp.cumsum(S, axis=1) - S  # exclusive
+    S = S.astype(jnp.promote_types(S.dtype, jnp.float32))
+    S_prefix = (jnp.cumsum(S, axis=1) - S).astype(q.dtype)  # exclusive
     y_inter = jnp.einsum("bcihd,bchde->bcihe", qc, S_prefix)
 
     return (y_intra + y_inter).reshape(B, L, H, Dv)
@@ -89,9 +92,11 @@ def cumulative_key_normalizer(
     q: jax.Array, k: jax.Array, eps: Optional[float] = None
 ) -> jax.Array:
     """n_t = q_t · Σ_{s≤t} k_s — the linear-attention normalizer denominator
-    (ref models/attention.py:77-79).  Returns (B, L, H)."""
-    k_cum = jnp.cumsum(k, axis=1)
-    n = jnp.einsum("blhd,blhd->blh", q, k_cum)
+    (ref models/attention.py:77-79).  Returns (B, L, H) in f32: it divides
+    the numerator, so bf16 inputs still get a full-precision denominator."""
+    f32 = jnp.promote_types(k.dtype, jnp.float32)
+    k_cum = jnp.cumsum(k.astype(f32), axis=1)
+    n = jnp.einsum("blhd,blhd->blh", q.astype(f32), k_cum)
     if eps is not None:
         n = jnp.where(n == 0, jnp.full((), eps, n.dtype), n)
     return n

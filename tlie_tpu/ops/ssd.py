@@ -98,10 +98,16 @@ def ssd_chunked_scan(
         Q = _pick_chunk(L, Q)
     C = L // Q
 
+    # accumulation dtype for the decay recurrence math (cumsum/exp/carry) is
+    # always f32; the large matmul operands ride the input dtype so a bf16
+    # caller (model compute_dtype=bfloat16) halves the HBM traffic of the
+    # O(Q²) decay-mask blocks — the MXU still accumulates bf16 products in
+    # f32 internally
     compute_dtype = jnp.promote_types(x.dtype, jnp.float32)
-    Bh = _expand_groups(B_mat, H).astype(compute_dtype)
-    Ch = _expand_groups(C_mat, H).astype(compute_dtype)
-    xf = x.astype(compute_dtype)
+    mm_dtype = x.dtype if x.dtype == jnp.bfloat16 else compute_dtype
+    Bh = _expand_groups(B_mat, H).astype(mm_dtype)
+    Ch = _expand_groups(C_mat, H).astype(mm_dtype)
+    xf = x.astype(mm_dtype)
     dtf = dt.astype(compute_dtype)
 
     xc = xf.reshape(B, C, Q, H, P)
@@ -109,21 +115,26 @@ def ssd_chunked_scan(
     Bc = Bh.reshape(B, C, Q, H, N)
     Cc = Ch.reshape(B, C, Q, H, N)
 
-    dA = dtc * A  # (B, C, Q, H)
+    dA = dtc * A  # (B, C, Q, H), f32
     cs = jnp.cumsum(dA, axis=2)  # inclusive within-chunk cumsum
 
     # --- intra-chunk (diagonal blocks): masked decay attention -------------
     # decay from step j to step i (i >= j): exp(cs_i - cs_j)
     seg = cs[:, :, :, None, :] - cs[:, :, None, :, :]  # (B,C,Q_i,Q_j,H)
     causal = jnp.tril(jnp.ones((Q, Q), dtype=bool))[None, None, :, :, None]
-    decay = jnp.exp(jnp.where(causal, seg, -jnp.inf))
-    scores = jnp.einsum("bcihn,bcjhn->bcijh", Cc, Bc) * decay * dtc[:, :, None, :, :]
+    decay = jnp.exp(jnp.where(causal, seg, -jnp.inf)).astype(mm_dtype)
+    scores = (
+        jnp.einsum("bcihn,bcjhn->bcijh", Cc, Bc)
+        * decay
+        * dtc[:, :, None, :, :].astype(mm_dtype)
+    )
     y_diag = jnp.einsum("bcijh,bcjhp->bcihp", scores, xc)
 
     # --- chunk summaries: state contributed by each chunk at its end ------
     decay_to_end = jnp.exp(cs[:, :, -1:, :] - cs)  # (B, C, Q, H)
-    wk = Bc * (decay_to_end * dtc)[..., None]  # (B, C, Q, H, N)
+    wk = Bc * (decay_to_end * dtc).astype(mm_dtype)[..., None]  # (B, C, Q, H, N)
     S = jnp.einsum("bcjhn,bcjhp->bchnp", wk, xc)  # (B, C, H, N, P)
+    S = S.astype(compute_dtype)  # carried state stays f32 across chunks
 
     # --- inter-chunk recurrence over the C chunk summaries ----------------
     chunk_decay = jnp.exp(cs[:, :, -1, :])  # (B, C, H)
@@ -144,8 +155,8 @@ def ssd_chunked_scan(
     R_prev = jnp.moveaxis(h_prev_seq, 0, 1)  # (B, C, H, N, P): state before chunk
 
     # --- inter-chunk output: queries against carried-in state -------------
-    wq = Cc * jnp.exp(cs)[..., None]  # (B, C, Q, H, N)
-    y_off = jnp.einsum("bcihn,bchnp->bcihp", wq, R_prev)
+    wq = Cc * jnp.exp(cs).astype(mm_dtype)[..., None]  # (B, C, Q, H, N)
+    y_off = jnp.einsum("bcihn,bchnp->bcihp", wq, R_prev.astype(mm_dtype))
 
     y = (y_diag + y_off).reshape(B, L, H, P)
     if D is not None:

@@ -228,6 +228,10 @@ def train(
         # ~10% slower than XLA's bf16 materialised-logits path (fp32 in-kernel
         # matmuls); it wins when the logits cube doesn't fit HBM.
         fused_head = bool(train_config.get("fused_xent", False))
+        if model_config.get("compute_dtype") == "bfloat16":
+            # the fused Pallas head is an f32 kernel; the bf16 mixed-precision
+            # mode uses XLA's materialised bf16 logits + f32 logsumexp instead
+            fused_head = False
         if fused_head:
             from ..ops.fused_xent import fused_xent_eligible
 
