@@ -11,6 +11,11 @@ the additional tracked metrics:
     full eigen-analysis pipeline wall-clock for one checkpoint at the
     reference's MQAR analysis batch size (64), including init+trained
     spectra, binning, and artifact writes.
+  * ``wikitext_mamba2_train_steps_per_sec_per_chip`` and ``..._bf16_...`` —
+    the LM-scale HBM-bound regime (61M params, block 1024, vocab 50257,
+    batch 8 — ref configs/iclr2026/wikitext/wikitext-103-mamba2.yaml) in
+    f32 and in the opt-in ``model.compute_dtype: bfloat16`` mode, guarding
+    the mixed-precision path against regression.
 
 ``vs_baseline``: the reference publishes no throughput numbers
 (BASELINE.md); we normalise against a conservative estimate of the
@@ -63,12 +68,31 @@ _MAMBA2_MODEL = {
 }
 
 
-def _setup(model_cfg, ds):
+_WT_DATASET = {
+    "name": "WikiText", "_name_": "wikitext", "version": 103,
+    "block_size": 1024, "synthetic": True, "fixed_size": True,
+    "data_dir": "",
+}
+
+# the 61M-param reference LM config (wikitext-103-mamba2.yaml)
+_WT_MAMBA2_MODEL = {
+    "layer": "mamba", "version": "mamba2", "num_layers": 6, "num_heads": 8,
+    "input_dim": 1, "output_dim": 50257, "hidden_dim": 512, "state_dim": 512,
+    "conv_dim": 4, "expansion": 1, "dropout": 0.0, "glu": True,
+    "norm": "layer", "dual": False, "prenorm": True, "mixer": "none",
+    "mixer_dim": 512, "classifier": False, "pooling": "none",
+    "embedding": True, "token_embedding": True, "vocab_size": 50257,
+    "max_pos_embed": 1024,
+}
+
+
+def _setup(model_cfg, ds, ds_cfg=None):
     from tlie_tpu.config import ExperimentConfig
     from tlie_tpu.models.registry import build_models
     from tlie_tpu.training.loop import _make_state
 
-    raw = {"seed": 1919, "save": None, "dataset": dict(_MQAR_DATASET),
+    raw = {"seed": 1919, "save": None,
+           "dataset": dict(ds_cfg or _MQAR_DATASET),
            "train": dict(_TRAIN), "model": dict(model_cfg)}
     cfg = ExperimentConfig(raw).validate()
     cfg.derive_runtime_fields(ds)
@@ -77,12 +101,12 @@ def _setup(model_cfg, ds):
     return cfg, train_model, state, rng
 
 
-def _bench_train(model_cfg, ds, data, n_steps=200):
+def _bench_train(model_cfg, ds, data, n_steps=200, ds_cfg=None, batch_size=64):
     """steps/s for one family on the device-resident scanned path — the
     framework's production training loop (training/scan_loop.py)."""
     from tlie_tpu.training.scan_loop import batch_indices, make_train_block
 
-    cfg, train_model, state, rng = _setup(model_cfg, ds)
+    cfg, train_model, state, rng = _setup(model_cfg, ds, ds_cfg)
     train_block = make_train_block(
         train_model, "layer", ("regular",), warmup=0,
         total_steps=10_000, cosine=True, lr_min=1e-6,
@@ -92,7 +116,7 @@ def _bench_train(model_cfg, ds, data, n_steps=200):
         fused_head=False,
     )
     nprng = np.random.default_rng(0)
-    idx = batch_indices(nprng, len(ds.train_inputs), 64, n_steps)
+    idx = batch_indices(nprng, len(ds.train_inputs), batch_size, n_steps)
     # warm up (compile); float() forces a synchronous host read —
     # block_until_ready does not reliably synchronise through the axon tunnel
     _, loss = train_block(state, rng, data, idx[:1], 0, 0.01, 0.01)
@@ -148,6 +172,18 @@ def main():
     sps_ssd = _bench_train(_MAMBA2_MODEL, ds, data)
     t_eig = _bench_analysis(ds)
 
+    wt = SequenceDataset.registry["wikitext"](**_WT_DATASET)
+    wt.setup()
+    wt_data = put_dataset(wt.train_inputs, wt.train_labels)
+    sps_wt = _bench_train(
+        _WT_MAMBA2_MODEL, wt, wt_data,
+        n_steps=50, ds_cfg=_WT_DATASET, batch_size=8,
+    )
+    sps_wt_bf16 = _bench_train(
+        {**_WT_MAMBA2_MODEL, "compute_dtype": "bfloat16"}, wt, wt_data,
+        n_steps=50, ds_cfg=_WT_DATASET, batch_size=8,
+    )
+
     print(json.dumps({
         "metric": "mqar_lin_attention_train_steps_per_sec_per_chip",
         "value": round(sps_lin, 3),
@@ -156,6 +192,8 @@ def main():
         "extra": {
             "mqar_mamba2_train_steps_per_sec_per_chip": round(sps_ssd, 3),
             "eval_eig_sec_per_checkpoint": round(t_eig, 3),
+            "wikitext_mamba2_train_steps_per_sec_per_chip": round(sps_wt, 3),
+            "wikitext_mamba2_bf16_train_steps_per_sec_per_chip": round(sps_wt_bf16, 3),
         },
     }))
 
