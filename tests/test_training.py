@@ -215,6 +215,91 @@ def test_data_parallel_matches_single_device(tmp_path):
     assert perf_dp == pytest.approx(perf_single, abs=5e-3)
 
 
+def test_vocab_tensor_parallel_matches_single_device(tmp_path):
+    """train.model_parallel=2 shards the token embedding + LM-head vocab
+    axis over a (data=4, model=2) mesh (parallel/tp.py); GSPMD inserts the
+    cross-shard collectives for the embedding gather and the CE logsumexp.
+    Must reproduce the single-device trajectory up to reduction-order noise,
+    and the sharded state must actually be placed vocab-split."""
+    from tlie_tpu.config import ExperimentConfig
+    from tlie_tpu.data import SequenceDataset
+    from tlie_tpu.training import train
+
+    import jax
+
+    assert jax.device_count() >= 8, "conftest must provision 8 virtual devices"
+
+    def run(model_parallel: int, tag: str):
+        raw = {
+            "seed": 5,
+            "save": str(tmp_path / f"tp-{tag}"),
+            "dataset": {
+                "name": "MQAR", "_name_": "mqar", "input_seq_length": 32,
+                "num_kv_pairs": 4, "vocab_size": 64,
+                "num_train_examples": 128, "num_test_examples": 64,
+                "fixed_size": True,
+            },
+            "train": {
+                "total_steps": 10, "batch_size": 16, "lr": 3e-3, "wd": 0.1,
+                "eval_every": 5, "cosine_anneal": True, "param_group": None,
+                "data_parallel": model_parallel > 1,
+                "model_parallel": model_parallel,
+            },
+            "model": {
+                "input_dim": 1, "output_dim": 64, "layer": "transformer",
+                "attention_fn": "lin-attention", "use_flash": False,
+                "num_layers": 1, "hidden_dim": 16, "state_dim": 16,
+                "num_heads": 1, "att_dropout": 0.0, "norm": "layer",
+                "embedding": True, "vocab_size": 64, "max_pos_embed": 32,
+                "mixer": "none", "mixer_dim": 16, "dropout": 0.0,
+                "classifier": False, "pooling": "mean", "dual": False,
+            },
+        }
+        cfg = ExperimentConfig(raw).validate()
+        ds = SequenceDataset.registry["mqar"](**cfg.dataset)
+        ds.setup()
+        cfg.derive_runtime_fields(ds)
+        tl = ds.train_dataloader(batch_size=16, shuffle=True)
+        el = ds.test_dataloader(batch_size=16, shuffle=False)
+        return train(cfg, tl, el, ds.get_metrics(), None)
+
+    _, perf_tp = run(2, "mp2")
+    _, perf_single = run(1, "single")
+    assert perf_tp == pytest.approx(perf_single, abs=5e-3)
+
+
+def test_vocab_partition_specs_rules():
+    """Path rules pick out exactly the vocab-bearing leaves, uniformly for a
+    bare param tree and for structures that mirror it (optimizer moments)."""
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from tlie_tpu.parallel.tp import vocab_partition_specs
+
+    params = {
+        "params": {
+            "encoder": {"word_embeddings": {"embedding": jnp.zeros((64, 16))}},
+            "decoder": {"kernel": jnp.zeros((16, 64)), "bias": jnp.zeros((64,))},
+            "layers_0": {"attention": {"Wqkv": {"kernel": jnp.zeros((16, 48))}}},
+        }
+    }
+    specs = vocab_partition_specs(params)["params"]
+    assert specs["encoder"]["word_embeddings"]["embedding"] == P("model", None)
+    assert specs["decoder"]["kernel"] == P(None, "model")
+    assert specs["decoder"]["bias"] == P("model")
+    assert specs["layers_0"]["attention"]["Wqkv"]["kernel"] == P()
+
+    # the placement is real: each model-axis shard holds vocab/2 rows
+    from tlie_tpu.parallel.tp import mesh_2d, shard_vocab_parallel
+
+    sharded = shard_vocab_parallel(params, mesh_2d(2))
+    emb = sharded["params"]["encoder"]["word_embeddings"]["embedding"]
+    shard_shapes = {s.data.shape for s in emb.addressable_shards}
+    assert shard_shapes == {(32, 16)}
+    wqkv = sharded["params"]["layers_0"]["attention"]["Wqkv"]["kernel"]
+    assert {s.data.shape for s in wqkv.addressable_shards} == {(16, 48)}
+
+
 def test_step_resume_matches_uninterrupted_run(tmp_path):
     """Mid-training snapshot + resume reproduces the uninterrupted run
     exactly: step counter, LR-schedule position, rng stream and host

@@ -202,14 +202,29 @@ def train(
         bsz = train_config["batch_size"]
         # data parallelism: replicate the device-resident dataset and params
         # over a 1-D mesh and shard each gathered batch on the ``data`` axis;
-        # XLA inserts the gradient all-reduce over ICI (SURVEY.md §2.4)
-        mesh = _data_mesh(bsz) if train_config.get("data_parallel", True) else None
+        # XLA inserts the gradient all-reduce over ICI (SURVEY.md §2.4).
+        # train.model_parallel > 1 adds a second ``model`` mesh axis that
+        # splits the vocabulary (embedding + LM head) — see parallel/tp.py.
+        mp = int(train_config.get("model_parallel", 1))
+        if mp > 1:
+            from ..parallel.tp import mesh_2d
+
+            mesh = mesh_2d(mp)
+            if bsz % mesh.shape["data"] != 0:
+                raise ValueError(
+                    f"batch {bsz} not divisible by data axis {mesh.shape['data']}"
+                )
+        else:
+            mesh = _data_mesh(bsz) if train_config.get("data_parallel", True) else None
         repl = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
 
             repl = NamedSharding(mesh, PartitionSpec())
-            print(f"[train] data-parallel batch sharding over {mesh.size} devices")
+            print(
+                f"[train] mesh {dict(mesh.shape)}: batch sharded over 'data'"
+                + (", vocab head over 'model'" if mp > 1 else "")
+            )
 
         train_data = put_dataset(
             np.asarray(trainloader.inputs), np.asarray(trainloader.labels),
@@ -222,7 +237,12 @@ def train(
             sharding=repl,
         )
         if repl is not None:
-            state = jax.device_put(state, repl)
+            if mp > 1:
+                from ..parallel.tp import shard_vocab_parallel
+
+                state = shard_vocab_parallel(state, mesh)
+            else:
+                state = jax.device_put(state, repl)
         # fused decoder+softmax-CE head (ops/fused_xent.py): exact same loss,
         # logits cube never materialised.  Opt-in: at bench shapes it measured
         # ~10% slower than XLA's bf16 materialised-logits path (fp32 in-kernel
