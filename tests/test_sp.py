@@ -71,3 +71,31 @@ def test_sp_rejects_indivisible_length(mesh):
     a = jnp.ones((1, 30, 4))
     with pytest.raises(ValueError, match="not divisible"):
         sp_diag_linear_scan(a, a, mesh)
+
+
+def test_ring_attention_matches_single_device(mesh):
+    """Ring attention over the seq-sharded mesh ≡ the XLA causal-attention
+    oracle: the online-softmax accumulation across rotating KV blocks is
+    algebraically exact."""
+    from tlie_tpu.ops.attention import causal_softmax_attention
+    from tlie_tpu.parallel.ring import ring_causal_attention
+
+    rng = np.random.default_rng(7)
+    B, L, H, D = 2, 64, 2, 8
+    q = jnp.asarray(rng.normal(size=(B, L, H, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, L, H, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, L, H, D)), jnp.float32)
+
+    ref = causal_softmax_attention(q, k, v, scale=0.25, impl="xla")
+    got = jax.jit(lambda q, k, v: ring_causal_attention(q, k, v, mesh, scale=0.25))(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-5)
+    # output stays sequence-sharded
+    assert {s.data.shape[1] for s in got.addressable_shards} == {L // 8}
+
+
+def test_ring_attention_rejects_indivisible_length(mesh):
+    from tlie_tpu.parallel.ring import ring_causal_attention
+
+    q = jnp.ones((1, 30, 2, 8))
+    with pytest.raises(ValueError, match="not divisible"):
+        ring_causal_attention(q, q, q, mesh)
