@@ -52,12 +52,30 @@ from .extractors import (
     eig_s5,
 )
 
+# Jitted extractor wrappers at module scope: the compile is paid once per
+# shape and reused across the init/trained passes, all layers (same shapes),
+# and every checkpoint of a sweep.  Eager dispatch is pathological on the
+# remote axon backend (~seconds per primitive through the tunnel).
+_j_att_softmax = jax.jit(eig_att_softmax, static_argnums=(3, 4, 5))
+_j_att_linear = jax.jit(eig_att_linear, static_argnums=(3, 4, 5))
+_j_att_norm = jax.jit(
+    eig_att_norm, static_argnums=(3, 4, 5), static_argnames=("norm_fn",)
+)
+_j_mamba2 = jax.jit(
+    eig_mamba2, static_argnames=("d_inner", "ngroups", "d_state", "nheads")
+)
+_j_mamba2_lti = jax.jit(eig_mamba2_lti, static_argnames=("nheads",))
+_j_lru = jax.jit(eig_lru)
+_j_s5 = jax.jit(eig_s5)
+
 
 # ------------------------------------------------------------------ helpers
 
 
-def _layer_activations(model, params, x, family: str):
-    """Activations after the encoder and after each block, one jit."""
+def _make_collector(model, family: str):
+    """Jitted (params, x) → per-block activations.  Built once per eval_eig
+    call and shared by the init and trained passes (same shapes → one
+    compile; the second call is a cache hit)."""
 
     def collect(mdl, inp):
         h = mdl.encoder(inp)
@@ -68,11 +86,11 @@ def _layer_activations(model, params, x, family: str):
             outs.append(h)
         return outs
 
-    return model.apply({"params": params}, x, method=collect)
+    return jax.jit(lambda p, inp: model.apply({"params": p}, inp, method=collect))
 
 
 def _extract_attention_family(
-    model, params, x, model_config: Dict[str, Any]
+    model, params, x, model_config: Dict[str, Any], collector=None
 ) -> np.ndarray:
     """Per-layer η/λ for the transformer & mamba families → (B, N, H, layers)."""
     family = model_config["layer"]
@@ -82,7 +100,9 @@ def _extract_attention_family(
     num_heads = model_config["num_heads"]
     pseudo_lti = model_config.get("pseudoLTI", False)
 
-    acts = _layer_activations(model, params, x, family)
+    if collector is None:
+        collector = _make_collector(model, family)
+    acts = collector(params, x)
 
     etas = []
     for i in range(num_layers):
@@ -92,11 +112,11 @@ def _extract_attention_family(
         if family == "mamba":
             mp = lp["mamba"]
             if pseudo_lti:
-                eta = eig_mamba2_lti(h, jnp.asarray(mp["A"]), nheads=None)
+                eta = _j_mamba2_lti(h, jnp.asarray(mp["A"]), nheads=None)
             else:
                 d_inner = model_config.get("expansion", 1) * d_model
                 nheads = d_inner // (d_model // num_heads)
-                eta = eig_mamba2(
+                eta = _j_mamba2(
                     h,
                     jnp.asarray(mp["in_proj"]["kernel"]),
                     jnp.asarray(mp["in_proj"].get("bias")) if "bias" in mp["in_proj"] else None,
@@ -112,14 +132,14 @@ def _extract_attention_family(
             attention_fn = model_config["attention_fn"]
             if attention_fn == "sm-attention":
                 w = att["Wqkv"]
-                eta = eig_att_softmax(
+                eta = _j_att_softmax(
                     h, jnp.asarray(w["kernel"]),
                     jnp.asarray(w["bias"]) if "bias" in w else None,
                     d_qk, d_model, num_heads,
                 )
             elif attention_fn == "lin-attention":
                 w = att["Wqkv"]
-                eta = eig_att_linear(
+                eta = _j_att_linear(
                     h, jnp.asarray(w["kernel"]),
                     jnp.asarray(w["bias"]) if "bias" in w else None,
                     d_qk, d_model, num_heads,
@@ -131,7 +151,7 @@ def _extract_attention_family(
                     if model_config.get("offset", False)
                     else None
                 )
-                eta = eig_att_norm(
+                eta = _j_att_norm(
                     h, jnp.asarray(w["kernel"]),
                     jnp.asarray(w["bias"]) if "bias" in w else None,
                     d_qk, d_model, num_heads,
@@ -159,9 +179,9 @@ def _extract_ssm_family(layer_list, model_config, eig_impl: str = "host") -> np.
     cols = []
     for lp in layer_list:
         if family == "lru":
-            re, im = eig_lru(lp)
+            re, im = _j_lru(lp)
         elif family == "s5":
-            re, im = eig_s5(lp)
+            re, im = _j_s5(lp)
         elif family == "s4":
             re, im = eig_s4(lp, idx=1, seq_len=seq_len, eig_impl=eig_impl)  # channel idx per ref :689
         else:
@@ -172,12 +192,20 @@ def _extract_ssm_family(layer_list, model_config, eig_impl: str = "host") -> np.
 
 
 def _init_params(model_config, batch_size, seed, family, sample_input):
-    """Freshly initialised params (ref get_init_layers_ssm, eval_eig.py:207-239)."""
+    """Freshly initialised params (ref get_init_layers_ssm, eval_eig.py:207-239).
+
+    Params are independent of the batch dimension, so callers pass a
+    batch-1 sample; the init forward is jitted (one compile instead of
+    eager per-primitive dispatch through the axon tunnel).  The HiPPO host
+    eigh inside the S4/S5 initializers operates on static numpy values and
+    runs at trace time, preserving bit-level init parity."""
     _, eval_model, _ = build_models(dict(model_config), padded=False)
     rng = jax.random.PRNGKey(seed)
     init_rng, _ = jax.random.split(rng)
     p_rng, d_rng = jax.random.split(init_rng)
-    variables = eval_model.init({"params": p_rng, "dropout": d_rng}, sample_input)
+    variables = jax.jit(eval_model.init)(
+        {"params": p_rng, "dropout": d_rng}, sample_input
+    )
     return eval_model, variables["params"]
 
 
@@ -212,11 +240,16 @@ def eval_eig(
         inputs, _ = prep_batch((X, X, aux), model_config["seq_len"],
                                model_config["input_dim"], lang_model=True)
 
-        model, init_p = _init_params(model_config, len(X), seed, family, inputs)
-        eig_init = _extract_attention_family(model, init_p, inputs, model_config)
+        model, init_p = _init_params(model_config, 1, seed, family, inputs[:1])
+        collector = _make_collector(model, family)
+        eig_init = _extract_attention_family(
+            model, init_p, inputs, model_config, collector
+        )
 
         trained_p = load_params_any(path, model_config)
-        eig = _extract_attention_family(model, trained_p, inputs, model_config)
+        eig = _extract_attention_family(
+            model, trained_p, inputs, model_config, collector
+        )
 
         batch_size = eig.shape[0]
         if family == "mamba":
@@ -258,7 +291,9 @@ def eval_eig(
 
     elif family in ("lru", "s4", "s5"):
         batch_size = conf_args["batch_size"]
-        sample = jnp.ones((batch_size, model_config["seq_len"], model_config["input_dim"]))
+        # spectra come from params only for the SSM families; a batch-1 init
+        # yields identical params without paying a full-batch forward
+        sample = jnp.ones((1, model_config["seq_len"], model_config["input_dim"]))
         eig_impl = conf_args.get("eig_impl", "host")
         model, init_p = _init_params(model_config, batch_size, seed, family, sample)
         eig_init = _extract_ssm_family(_ssm_layer_params(init_p), model_config, eig_impl)

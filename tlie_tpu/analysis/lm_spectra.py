@@ -19,18 +19,23 @@ import os
 import re
 from typing import Dict, Iterable, List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .binning import RADIUS_THRESHOLDS, threshold_analysis
 from .extractors import eta_softmax_from_qk
 
+# jitted once: per-layer/per-batch calls share shapes, so the tunnel pays
+# one compile instead of eager per-primitive dispatch
+_j_eta = jax.jit(eta_softmax_from_qk)
+
 
 def eta_from_torch_qk(q, k) -> np.ndarray:
     """(B, L, H, D) torch/numpy q, k → η (B, L−1, H) numpy."""
     q = np.asarray(q, dtype=np.float32)
     k = np.asarray(k, dtype=np.float32)
-    return np.asarray(eta_softmax_from_qk(jnp.asarray(q), jnp.asarray(k)))
+    return np.asarray(_j_eta(jnp.asarray(q), jnp.asarray(k)))
 
 
 class QKHooks:
