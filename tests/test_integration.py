@@ -233,3 +233,47 @@ def test_padded_listops_attention_end_to_end(tmp_path):
     el = ds.test_dataloader(batch_size=16, shuffle=False)
     path, perf = train(cfg, tl, el, ds.get_metrics(), None)
     assert path is not None and 0.0 <= perf <= 1.0
+
+
+@pytest.mark.slow
+def test_mamba2_pseudo_lti_end_to_end_with_analysis(tmp_path):
+    """The pseudo-LTI Mamba-2 variant (SSD_LTI: A = −softplus(A), β ≡ 1)
+    trains and its analysis path extracts λ = exp(β·A) per head — the
+    eig_mamba2_lti extractor used to crash on the nheads=None call."""
+    cfg = _tiny_config(
+        tmp_path,
+        layer="mamba",
+        extra_model={
+            "version": "mamba2",
+            "pseudoLTI": True,
+            "num_heads": 2,
+            "conv_dim": 4,
+            "expansion": 1,
+            "glu": True,
+            "prenorm": True,
+            "pooling": "none",
+            "embedding": True,
+            "token_embedding": True,
+            "max_pos_embed": 32,
+            "mixer": "none",
+            "mixer_dim": 32,
+            "classifier": False,
+            "dual": False,
+        },
+        extra_train={"total_steps": 10, "eval_every": 10},
+    )
+    ds, path, perf = _run(cfg)
+    assert path is not None and os.path.isdir(path)
+
+    from tlie_tpu.analysis import eval_eig
+
+    conf_args = {"batch_size": 16, "save_path": str(tmp_path / "analysis-lti") + "/"}
+    loader = ds.test_dataloader(batch_size=16, shuffle=False)
+    eig, eig_init, pct, *_ = eval_eig(
+        cfg.raw, conf_args, None, cfg.dataset, loader, path, perf
+    )
+    L = cfg.dataset["input_seq_length"]
+    # λ constant over (B, L) per head, 2 layers; real in (0, 1)
+    assert eig.shape == (16, L, 2, 2)
+    assert np.all(eig > 0) and np.all(eig < 1)
+    assert np.allclose(eig, eig[:, :1], atol=0)  # time-invariant: LTI

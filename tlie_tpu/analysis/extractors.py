@@ -26,7 +26,7 @@ match the reference within 1e-5 and the default bf16 MXU mode would not.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -129,11 +129,13 @@ def eig_mamba2(x, in_proj_kernel, in_proj_bias, dt_bias, A_log,
     return jnp.exp(dt * (-jnp.exp(A_log)))
 
 
-def eig_mamba2_lti(x, A, nheads: int):
-    """λ = exp(β·A), β ≡ 1 (ref eval_eig.py:192-205); constant over (B, L)."""
+def eig_mamba2_lti(x, A, nheads: Optional[int] = None):
+    """λ = exp(β·A), β ≡ 1 (ref eval_eig.py:192-205); constant over (B, L).
+    ``A`` is the per-head (nheads,) parameter; nheads defaults to its length."""
     B, L, _ = x.shape
     lam = jnp.exp(-jax.nn.softplus(A))
-    return jnp.broadcast_to(lam, (B, L, nheads))
+    n = lam.shape[-1] if nheads is None else nheads
+    return jnp.broadcast_to(lam, (B, L, n))
 
 
 # ----------------------------------------------------------- SSM families
