@@ -47,6 +47,29 @@ _NORM_ATT_EXTRA = {
     "scale_B": False, "offset": True, "offset_init": "uniform", "dim_conv": 4,
 }
 
+_SSM_COMMON = {
+    "output_dim": 64, "num_layers": 2, "hidden_dim": 32, "state_dim": 16,
+    "dt_min": 0.001, "dt_max": 0.1, "activation": "full_glu",
+    "dropout": 0.0, "norm": "layer", "pooling": "mean", "dual": False,
+    "decode": False, "vocab_size": 64, "seq_len": 32, "input_dim": 64,
+    "ssm_lr_vars": ["Lambda_re", "Lambda_im", "P", "B", "log_step"],
+}
+
+_LRU_TINY = {
+    **_SSM_COMMON, "layer": "lru", "r_min": 0.5, "r_max": 0.95,
+    # post-norm: the encoder's bf16 output flows straight into the SSM core,
+    # exercising the f32 re-cast guard in SequenceLayer
+    "prenorm": False,
+    "ssm_lr_vars": ["nu_log", "theta_log", "gamma_log", "B_re", "B_im"],
+}
+
+_S5_TINY = {
+    **_SSM_COMMON, "layer": "s5", "prenorm": True,
+    "C_init": "lecun_normal", "discretization": "zoh", "conj_sym": True,
+}
+
+_S4_TINY = {**_SSM_COMMON, "layer": "s4", "prenorm": True}
+
 
 def _init_and_apply(model_cfg, tokens, seed=0):
     _, eval_model, _ = build_models(dict(model_cfg), padded=False)
@@ -63,8 +86,12 @@ def _init_and_apply(model_cfg, tokens, seed=0):
         _ATT_TINY,
         {**_ATT_TINY, "attention_fn": "sm-attention"},
         {**_ATT_TINY, **_NORM_ATT_EXTRA},
+        _LRU_TINY,
+        _S5_TINY,
+        _S4_TINY,
     ],
-    ids=["mamba2", "lin-attention", "sm-attention", "norm-attention"],
+    ids=["mamba2", "lin-attention", "sm-attention", "norm-attention",
+         "lru", "s5", "s4"],
 )
 def test_bf16_params_f32_and_forward_close(base):
     tokens = jnp.asarray(

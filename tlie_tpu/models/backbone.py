@@ -35,6 +35,7 @@ class DenseEmbed(nn.Module):
 
     features: int
     in_features: int | None = None
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -46,6 +47,10 @@ class DenseEmbed(nn.Module):
             "kernel", nn.initializers.lecun_normal(), (in_features, self.features)
         )
         bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        if self.dtype is not None:
+            kernel, bias = kernel.astype(self.dtype), bias.astype(self.dtype)
+            if not is_tokens:
+                x = x.astype(self.dtype)
         if is_tokens:
             return jnp.take(kernel, x, axis=0) + bias
         return x @ kernel + bias
@@ -64,14 +69,15 @@ class SequenceLayer(nn.Module):
     training: bool = True
     prenorm: bool = True
     norm: str = "layer"
+    dtype: jnp.dtype | None = None
 
     def setup(self):
         self.seq = self.ssm()
         if self.activation == "full_glu":
-            self.out1 = nn.Dense(self.d_model)
-            self.out2 = nn.Dense(self.d_model)
+            self.out1 = nn.Dense(self.d_model, dtype=self.dtype)
+            self.out2 = nn.Dense(self.d_model, dtype=self.dtype)
         elif self.activation in ("half_glu1", "half_glu2"):
-            self.out2 = nn.Dense(self.d_model)
+            self.out2 = nn.Dense(self.d_model, dtype=self.dtype)
         if self.norm == "batch":
             # stats over (batch, time); feature axis last
             self.normalize = nn.BatchNorm(
@@ -88,7 +94,10 @@ class SequenceLayer(nn.Module):
         skip = x
         if self.prenorm:
             x = self.normalize(x)
-        x = self.seq(x)
+        # the SSM core always computes f32: its recurrence compounds rounding
+        # (bf16 inputs reach here only on post-norm stacks, where the encoder
+        # output flows in directly)
+        x = self.seq(x.astype(jnp.float32) if x.dtype == jnp.bfloat16 else x)
         if self.activation == "full_glu":
             x = self.drop(nn.gelu(x))
             x = self.out1(x) * jax.nn.sigmoid(self.out2(x))
@@ -123,9 +132,12 @@ class StackedEncoderModel(nn.Module):
     prenorm: bool = True
     norm: str = "layer"
     d_input: int | None = None  # needed only for integer-token inputs
+    dtype: jnp.dtype | None = None
 
     def setup(self):
-        self.encoder = DenseEmbed(self.d_model, in_features=self.d_input)
+        self.encoder = DenseEmbed(
+            self.d_model, in_features=self.d_input, dtype=self.dtype
+        )
         self.layers = [
             SequenceLayer(
                 ssm=self.ssm,
@@ -135,6 +147,7 @@ class StackedEncoderModel(nn.Module):
                 training=self.training,
                 prenorm=self.prenorm,
                 norm=self.norm,
+                dtype=self.dtype,
             )
             for _ in range(self.n_layers)
         ]
@@ -178,6 +191,10 @@ class ClassificationModel(nn.Module):
     # (log_softmax∘log_softmax = log_softmax) but its backward costs ~100 ms
     # at (64, 512, 8192) — the trainer sets logits_output=True.
     logits_output: bool = False
+    # opt-in bf16 mixed precision (model.compute_dtype): the encoder/decoder
+    # and GLU Dense matmuls ride this dtype; the SSM core, norms, residual
+    # adds and the loss reduction stay f32 (params are stored f32 always)
+    dtype: jnp.dtype | None = None
 
     def setup(self):
         self.encoder = StackedEncoderModel(
@@ -190,8 +207,9 @@ class ClassificationModel(nn.Module):
             prenorm=self.prenorm,
             norm=self.norm,
             d_input=self.d_input,
+            dtype=self.dtype,
         )
-        self.decoder = nn.Dense(self.d_output)
+        self.decoder = nn.Dense(self.d_output, dtype=self.dtype)
 
     def __call__(self, x):
         if self.padded:

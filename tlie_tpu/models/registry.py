@@ -10,6 +10,8 @@ from __future__ import annotations
 from functools import partial
 from typing import Any, Dict, Tuple
 
+import jax.numpy as jnp
+
 from ..utils.freeze import freeze_config
 from .backbone import BatchClassificationModel
 from .lru import init_LRU
@@ -44,6 +46,13 @@ def ssm_backbone_partial(model_config: Dict[str, Any], padded: bool):
         # CE/argmax/perplexity are invariant to the reference's final
         # log_softmax; skipping it removes a ~100ms backward at LM shapes
         logits_output=True,
+        # opt-in bf16 mixed precision for the backbone matmuls; the SSM
+        # core always computes f32 (see backbone.py / README)
+        dtype=(
+            jnp.bfloat16
+            if model_config.get("compute_dtype") == "bfloat16"
+            else None
+        ),
     )
 
 
