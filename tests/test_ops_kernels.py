@@ -196,3 +196,35 @@ def test_fused_softmax_xent_matches_reference():
     g_r = jax.grad(ref, argnums=(0, 1, 2))(h, w, b, y)
     for a, r in zip(g_f, g_r):
         np.testing.assert_allclose(np.asarray(a), np.asarray(r), rtol=1e-4, atol=1e-7)
+
+
+def test_fused_softmax_xent_bf16_close_to_f32():
+    """bf16 operands (the compute_dtype mode): kernel matmuls ride bf16 with
+    f32 accumulation; loss and grads track the f32 path to bf16 rounding,
+    and cotangents come back in the primal dtypes."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from tlie_tpu.ops.fused_xent import fused_softmax_xent
+
+    M, D, V = 128, 64, 512
+    rng = np.random.RandomState(2)
+    h = jnp.asarray(rng.randn(M, D).astype(np.float32))
+    w = jnp.asarray(rng.randn(D, V).astype(np.float32) * 0.05)
+    b = jnp.asarray(rng.randn(V).astype(np.float32) * 0.1)
+    y = rng.randint(0, V, M)
+    y[::5] = -100
+    y = jnp.asarray(y, jnp.int32)
+
+    with pltpu.force_tpu_interpret_mode():
+        v32 = float(fused_softmax_xent(h, w, b, y))
+        g32 = jax.grad(fused_softmax_xent, argnums=(0, 1, 2))(h, w, b, y)
+        h16, w16, b16 = (a.astype(jnp.bfloat16) for a in (h, w, b))
+        v16 = float(fused_softmax_xent(h16, w16, b16, y))
+        g16 = jax.grad(fused_softmax_xent, argnums=(0, 1, 2))(h16, w16, b16, y)
+
+    assert abs(v16 - v32) < 0.03 * abs(v32) + 1e-3
+    for a16, a32 in zip(g16, g32):
+        assert a16.dtype == jnp.bfloat16
+        scale = float(jnp.max(jnp.abs(a32))) + 1e-8
+        err = float(jnp.max(jnp.abs(a16.astype(jnp.float32) - a32))) / scale
+        assert err < 0.08, f"bf16 grad deviates {err:.3f}"

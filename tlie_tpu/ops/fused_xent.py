@@ -15,6 +15,13 @@ attention.
 API: ``fused_softmax_xent(h, W, b, labels)`` → mean masked CE, with a
 custom VJP for (h, W, b).  Shapes: h (M, D), W (D, V), b (V,), labels (M,)
 with −100 ignored.  M, D, V must tile by (128, —, 512).
+
+Mixed precision: h/W/b may be bf16 — the MXU multiplies bf16 operands with
+f32 accumulation (``preferred_element_type``), all online statistics, the
+logsumexp and the loss stay f32, and the backward casts the (softmax −
+onehot) factor to the operand dtype before its two matmuls (the same
+recompute-in-low-precision trade flash attention makes).  Gradients are
+returned in the primal dtypes.
 """
 
 from __future__ import annotations
@@ -126,11 +133,17 @@ def _dlogits(h_ref, w_ref, b_ref, y_ref, lse_ref, g_ref, vj):
     return (p - onehot) * g_ref[...] * valid
 
 
+def _cast_for_dot(t, ref):
+    """Backward matmul operand dtype: bf16 inputs do bf16×bf16 MXU passes
+    (f32 accumulate); f32 inputs stay exact."""
+    return t.astype(ref.dtype) if ref.dtype == jnp.bfloat16 else t
+
+
 def _bwd_dh_kernel(h_ref, w_ref, b_ref, y_ref, lse_ref, g_ref, dh_ref):
     vj = pl.program_id(1)
     t = _dlogits(h_ref, w_ref, b_ref, y_ref, lse_ref, g_ref, vj)
     contrib = jax.lax.dot_general(
-        t, w_ref[...], (((1,), (1,)), ((), ())),
+        _cast_for_dot(t, w_ref), w_ref[...], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
@@ -146,7 +159,7 @@ def _bwd_dw_kernel(h_ref, w_ref, b_ref, y_ref, lse_ref, g_ref, dw_ref, db_ref):
     vj = pl.program_id(0)
     t = _dlogits(h_ref, w_ref, b_ref, y_ref, lse_ref, g_ref, vj)
     contrib = jax.lax.dot_general(
-        h_ref[...], t, (((0,), (0,)), ((), ())),
+        h_ref[...], _cast_for_dot(t, h_ref), (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
@@ -233,7 +246,8 @@ def _vjp_bwd(res, g):
     h, w, b, labels, lse, n_valid = res
     g_rows = jnp.full(labels.shape, g / n_valid.astype(jnp.float32))
     dh, dw, db = _bwd(h, w, b, labels, lse, g_rows)
-    return dh, dw, db, None
+    # cotangents must match the primal dtypes (bf16 inputs → bf16 grads)
+    return dh.astype(h.dtype), dw.astype(w.dtype), db.astype(b.dtype), None
 
 
 fused_softmax_xent.defvjp(_vjp_fwd, _vjp_bwd)

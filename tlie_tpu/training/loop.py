@@ -248,10 +248,13 @@ def train(
         # ~10% slower than XLA's bf16 materialised-logits path (fp32 in-kernel
         # matmuls); it wins when the logits cube doesn't fit HBM.
         fused_head = bool(train_config.get("fused_xent", False))
-        if model_config.get("compute_dtype") == "bfloat16":
-            # the fused Pallas head is an f32 kernel; the bf16 mixed-precision
-            # mode uses XLA's materialised bf16 logits + f32 logsumexp instead
-            fused_head = False
+        # under compute_dtype=bfloat16 the kernel's matmuls ride bf16
+        # operands (f32 accumulate), matching the model's precision mode
+        fused_head_dtype = (
+            jnp.bfloat16
+            if (fused_head and model_config.get("compute_dtype") == "bfloat16")
+            else None
+        )
         if fused_head:
             from ..ops.fused_xent import fused_xent_eligible
 
@@ -282,6 +285,7 @@ def train(
             group_lr=train_config.get("group_lr", 1e-3),
             fused_head=fused_head,
             mesh=mesh,
+            fused_head_dtype=fused_head_dtype,
         )
         if fused_head:
             print("[train] fused decoder+softmax-CE head enabled")

@@ -98,6 +98,7 @@ def make_train_block(
     group_lr: float = 1e-3,
     fused_head: bool = False,
     mesh=None,
+    fused_head_dtype=None,
 ):
     """Build a jitted runner for K on-device training steps.
 
@@ -107,7 +108,9 @@ def make_train_block(
     ``fused_head=True`` routes the loss through the fused decoder+softmax-CE
     Pallas kernel (ops/fused_xent.py): the model's ``features`` method feeds
     the kernel together with the decoder params, and the (B·L, vocab) logits
-    cube never materialises.
+    cube never materialises.  ``fused_head_dtype=jnp.bfloat16`` (the
+    compute_dtype mode) runs the kernel's matmuls on bf16 operands with f32
+    accumulation; the autodiff cast returns f32 param gradients.
     """
 
     def _fused_loss(params, x, y, drop_rng):
@@ -123,6 +126,10 @@ def make_train_block(
         b = dec.get("bias")
         if b is None:
             b = jnp.zeros((w.shape[1],), feats.dtype)
+        if fused_head_dtype is not None:
+            feats = feats.astype(fused_head_dtype)
+            w = w.astype(fused_head_dtype)
+            b = b.astype(fused_head_dtype)
         return fused_softmax_xent(
             feats.reshape(-1, d), w, b, y.reshape(-1)
         )
