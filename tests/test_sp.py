@@ -99,3 +99,21 @@ def test_ring_attention_rejects_indivisible_length(mesh):
     q = jnp.ones((1, 30, 2, 8))
     with pytest.raises(ValueError, match="not divisible"):
         ring_causal_attention(q, q, q, mesh)
+
+
+def test_sp_linear_attention_matches_single_device(mesh):
+    """Cross-device linear attention: per-shard chunked kernels + one
+    all-gather of KV-state summaries ≡ the single-device kernel."""
+    from tlie_tpu.ops.linear_attention import chunked_linear_attention
+    from tlie_tpu.parallel.sp import sp_linear_attention
+
+    rng = np.random.default_rng(9)
+    B, L, H, D = 2, 64, 2, 8
+    q = jax.nn.elu(jnp.asarray(rng.normal(size=(B, L, H, D)), jnp.float32)) + 1
+    k = jax.nn.elu(jnp.asarray(rng.normal(size=(B, L, H, D)), jnp.float32)) + 1
+    v = jnp.asarray(rng.normal(size=(B, L, H, D)), jnp.float32)
+
+    ref = chunked_linear_attention(q, k, v, scale=0.5)
+    got = jax.jit(lambda q, k, v: sp_linear_attention(q, k, v, mesh, scale=0.5))(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4, rtol=2e-4)
+    assert {s.data.shape[1] for s in got.addressable_shards} == {L // 8}

@@ -1,6 +1,6 @@
 from .mesh import default_mesh, grid_sharding, replicated_sharding
 from .ring import ring_causal_attention
-from .sp import seq_mesh, sp_diag_linear_scan
+from .sp import seq_mesh, sp_diag_linear_scan, sp_linear_attention
 from .sweep import run_sweep_on_mesh
 from .tp import mesh_2d, shard_vocab_parallel, vocab_partition_specs
 
@@ -14,5 +14,6 @@ __all__ = [
     "seq_mesh",
     "shard_vocab_parallel",
     "sp_diag_linear_scan",
+    "sp_linear_attention",
     "vocab_partition_specs",
 ]

@@ -129,3 +129,53 @@ def sp_diag_linear_scan(
     if want_complex_array:
         return cplx.to_complex(out)
     return out
+
+
+def _linear_attention_block(q_blk, k_blk, v_blk, *, scale, axis_name):
+    from ..ops.linear_attention import chunked_linear_attention
+
+    n = lax.psum(1, axis_name)
+    idx = lax.axis_index(axis_name)
+    y_local = chunked_linear_attention(q_blk, k_blk, v_blk, scale=scale)
+    # per-shard KV summary; f32 accumulation for the cross-shard state
+    S = jnp.einsum(
+        "blhd,blhe->bhde", (k_blk * scale).astype(jnp.float32),
+        v_blk.astype(jnp.float32),
+    )
+    Ss = lax.all_gather(S, axis_name)  # (n, B, H, Dk, Dv)
+    before = (jnp.arange(n) < idx).astype(Ss.dtype)
+    S_in = jnp.einsum("n...,n->...", Ss, before).astype(q_blk.dtype)
+    return y_local + jnp.einsum("blhd,bhde->blhe", q_blk, S_in)
+
+
+def sp_linear_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mesh: Mesh,
+    *,
+    scale: float = 1.0,
+    axis_name: str = "seq",
+) -> jax.Array:
+    """Causal linear attention (the GLA g=None state recurrence,
+    ops/linear_attention.py) with the (B, L, H, D) time axis sharded over
+    ``mesh``: each device runs the chunked kernel on its shard, per-shard
+    KV-state summaries Σ k_t v_tᵀ travel once over ICI (one all-gather of
+    (B, H, Dk, Dv) per device), and queries pick up the carried-in state.
+    Exact vs the single-device kernel up to float reassociation."""
+    try:
+        from jax import shard_map
+    except ImportError:  # pre-0.8 JAX
+        from jax.experimental.shard_map import shard_map
+
+    L, n = q.shape[1], mesh.shape[axis_name]
+    if L % n != 0:
+        raise ValueError(f"sequence length {L} not divisible by {axis_name} axis {n}")
+    spec = P(None, axis_name)
+    fn = shard_map(
+        partial(_linear_attention_block, scale=float(scale), axis_name=axis_name),
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
+    )
+    return fn(q, k, v)
