@@ -228,3 +228,35 @@ def test_fused_softmax_xent_bf16_close_to_f32():
         scale = float(jnp.max(jnp.abs(a32))) + 1e-8
         err = float(jnp.max(jnp.abs(a16.astype(jnp.float32) - a32))) / scale
         assert err < 0.08, f"bf16 grad deviates {err:.3f}"
+
+
+def test_fused_softmax_xent_ragged_vocab():
+    """GPT-2-style vocab (not a multiple of the 512 tile) is padded with
+    -1e30-bias columns that contribute nothing to loss or grads."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from tlie_tpu.ops.fused_xent import fused_softmax_xent, fused_xent_eligible
+
+    M, D, V = 128, 32, 600  # 600 % 512 != 0
+    assert fused_xent_eligible(M, D, V)
+    rng = np.random.RandomState(3)
+    h = jnp.asarray(rng.randn(M, D).astype(np.float32))
+    w = jnp.asarray(rng.randn(D, V).astype(np.float32) * 0.05)
+    b = jnp.asarray(rng.randn(V).astype(np.float32) * 0.1)
+    y = jnp.asarray(rng.randint(0, V, M), jnp.int32)
+
+    def ref(h, w, b, y):
+        logits = h @ w + b
+        lse = jax.nn.logsumexp(logits, -1)
+        picked = jnp.take_along_axis(logits, jnp.maximum(y, 0)[:, None], -1)[:, 0]
+        mask = y != -100
+        return jnp.sum(jnp.where(mask, lse - picked, 0.0)) / jnp.maximum(mask.sum(), 1)
+
+    with pltpu.force_tpu_interpret_mode():
+        v = float(fused_softmax_xent(h, w, b, y))
+        g_f = jax.grad(fused_softmax_xent, argnums=(0, 1, 2))(h, w, b, y)
+    assert v == pytest.approx(float(ref(h, w, b, y)), rel=1e-5)
+    g_r = jax.grad(ref, argnums=(0, 1, 2))(h, w, b, y)
+    for a, r in zip(g_f, g_r):
+        assert a.shape == r.shape
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), rtol=1e-4, atol=1e-6)

@@ -39,7 +39,19 @@ IGNORE = -100
 
 
 def fused_xent_eligible(M: int, D: int, V: int) -> bool:
-    return M % _TM == 0 and V % _TV == 0 and D <= 1024
+    # V needs no divisibility: ragged vocabularies (e.g. GPT-2's 50257) are
+    # tile-padded with zero kernel columns and a -1e30 bias, which contribute
+    # exp(-1e30 - m) = 0 to every statistic and zero gradient
+    return M % _TM == 0 and D <= 1024
+
+
+def _pad_vocab(w, b):
+    V = w.shape[1]
+    pad = (-V) % _TV
+    if pad:
+        w = jnp.pad(w, ((0, 0), (0, pad)))
+        b = jnp.concatenate([b, jnp.full((pad,), -1e30, b.dtype)])
+    return w, b
 
 
 # ------------------------------------------------------------- forward
@@ -85,6 +97,7 @@ def _fwd_kernel(h_ref, w_ref, b_ref, y_ref, loss_ref, lse_ref,
 
 def _fwd(h, w, b, labels):
     M, D = h.shape
+    w, b = _pad_vocab(w, b)
     V = w.shape[1]
     grid = (M // _TM, V // _TV)
     loss, lse = pl.pallas_call(
@@ -174,6 +187,8 @@ def _bwd_dw_kernel(h_ref, w_ref, b_ref, y_ref, lse_ref, g_ref, dw_ref, db_ref):
 
 def _bwd(h, w, b, labels, lse, g_rows):
     M, D = h.shape
+    V_orig = w.shape[1]
+    w, b = _pad_vocab(w, b)
     V = w.shape[1]
     y2 = labels.reshape(M, 1).astype(jnp.int32)
     lse2 = lse.reshape(M, 1)
@@ -221,7 +236,7 @@ def _bwd(h, w, b, labels, lse, g_rows):
             dimension_semantics=("parallel", "arbitrary"),
         ),
     )(h, w, b2, y2, lse2, g2)
-    return dh, dw, db[0]
+    return dh, dw[:, :V_orig], db[0, :V_orig]
 
 
 # ------------------------------------------------------------- public op
