@@ -248,6 +248,11 @@ def train(
         # ~10% slower than XLA's bf16 materialised-logits path (fp32 in-kernel
         # matmuls); it wins when the logits cube doesn't fit HBM.
         fused_head = bool(train_config.get("fused_xent", False))
+        if mp > 1:
+            # the fused Pallas head is a single-device kernel that reads the
+            # decoder params directly; under vocab tensor parallelism the
+            # sharded XLA logits path (with its GSPMD collectives) applies
+            fused_head = False
         # under compute_dtype=bfloat16 the kernel's matmuls ride bf16
         # operands (f32 accumulate), matching the model's precision mode
         fused_head_dtype = (
