@@ -86,14 +86,17 @@ _WT_MAMBA2_MODEL = {
 }
 
 
-def _setup(model_cfg, ds, ds_cfg=None):
+def _setup(model_cfg, ds, ds_cfg=None, batch_size=64):
     from tlie_tpu.config import ExperimentConfig
     from tlie_tpu.models.registry import build_models
     from tlie_tpu.training.loop import _make_state
 
+    # batch_size must be the measured batch: _make_state's init forward runs
+    # at train.batch_size, and a 64-wide (L1024, V50k) init OOMs the chip
     raw = {"seed": 1919, "save": None,
            "dataset": dict(ds_cfg or _MQAR_DATASET),
-           "train": dict(_TRAIN), "model": dict(model_cfg)}
+           "train": {**_TRAIN, "batch_size": batch_size},
+           "model": dict(model_cfg)}
     cfg = ExperimentConfig(raw).validate()
     cfg.derive_runtime_fields(ds)
     train_model, _, _ = build_models(cfg.model, False)
@@ -106,7 +109,7 @@ def _bench_train(model_cfg, ds, data, n_steps=200, ds_cfg=None, batch_size=64):
     framework's production training loop (training/scan_loop.py)."""
     from tlie_tpu.training.scan_loop import batch_indices, make_train_block
 
-    cfg, train_model, state, rng = _setup(model_cfg, ds, ds_cfg)
+    cfg, train_model, state, rng = _setup(model_cfg, ds, ds_cfg, batch_size)
     train_block = make_train_block(
         train_model, "layer", ("regular",), warmup=0,
         total_steps=10_000, cosine=True, lr_min=1e-6,
