@@ -75,8 +75,14 @@ def run_row(task: str, family: str) -> dict:
         t0 = time.perf_counter()
         eval_eig(cfg.raw, conf_args, None, cfg.dataset, loader, path, perf)
         dt = time.perf_counter() - t0
+        # warm pass: the jitted extractor/collector/init graphs are now
+        # compiled — this is the per-checkpoint cost in a sweep or any
+        # multi-checkpoint analysis run
+        t1 = time.perf_counter()
+        eval_eig(cfg.raw, conf_args, None, cfg.dataset, loader, path, perf)
+        warm = time.perf_counter() - t1
         row = {"task": task, "family": family, "analysis_batch": absz,
-               "eval_eig_sec": round(dt, 2)}
+               "eval_eig_sec": round(dt, 2), "eval_eig_sec_warm": round(warm, 2)}
         print(json.dumps(row), flush=True)
         return row
     finally:
