@@ -123,6 +123,23 @@ def test_lin_attention_end_to_end_with_analysis(tmp_path):
         snap = yaml.safe_load(f)
     assert snap["model"]["layer"] == "transformer"
 
+    # warm re-analysis of the same checkpoint (the sweep / multi-checkpoint
+    # regime) hits the cross-checkpoint caches and reproduces the spectra
+    # bit-for-bit — init spectra and the collector jit must not be rebuilt
+    import importlib
+
+    _ee_mod = importlib.import_module("tlie_tpu.analysis.eval_eig")
+
+    n_init_entries = len(_ee_mod._init_spectra_cache)
+    assert n_init_entries >= 1  # first call populated it
+    loader2 = ds.test_dataloader(batch_size=16, shuffle=False)
+    eig2, eig_init2, *_ = _ee_mod.eval_eig(
+        cfg.raw, conf_args, None, cfg.dataset, loader2, path, perf
+    )
+    assert len(_ee_mod._init_spectra_cache) == n_init_entries  # cache hit
+    np.testing.assert_array_equal(eig2, eig)
+    np.testing.assert_array_equal(eig_init2, eig_init)
+
 
 @pytest.mark.slow
 def test_lru_end_to_end_with_analysis(tmp_path):
@@ -229,6 +246,46 @@ def test_padded_listops_attention_end_to_end(tmp_path):
     ds.setup()
     cfg.derive_runtime_fields(ds)
     assert cfg.train["padded"] is True
+    tl = ds.train_dataloader(batch_size=16, shuffle=True)
+    el = ds.test_dataloader(batch_size=16, shuffle=False)
+    path, perf = train(cfg, tl, el, ds.get_metrics(), None)
+    assert path is not None and 0.0 <= perf <= 1.0
+
+
+@pytest.mark.slow
+def test_aan_dual_retrieval_end_to_end(tmp_path):
+    """The LRA-retrieval path end-to-end: (B, 2, L) document pairs flow
+    through the training loop, the dual transformer folds the pair into the
+    batch and the MATCH head combines the two encodings
+    (ref models/transformer.py:141-142,156-158, models/common.py:15-29)."""
+    from tlie_tpu.training import train
+
+    raw = {
+        "seed": 7,
+        "save": str(tmp_path / "ck-aan-dual"),
+        "dataset": {
+            "name": "AAN", "_name_": "aan", "synthetic": True,
+            "synthetic_train": 128, "synthetic_test": 32, "l_max": 64,
+        },
+        "train": {
+            "num_epochs": 2, "batch_size": 16, "lr": 1e-3, "wd": 0.1,
+            "cosine_anneal": True, "param_group": None, "warmup": 0,
+        },
+        "model": {
+            "input_dim": 1, "output_dim": 2, "layer": "transformer",
+            "attention_fn": "lin-attention", "use_flash": False,
+            "num_layers": 1, "hidden_dim": 16, "state_dim": 16,
+            "num_heads": 1, "att_dropout": 0.0, "norm": "layer",
+            "embedding": True, "vocab_size": 32, "max_pos_embed": 64,
+            "mixer": "none", "mixer_dim": 16, "dropout": 0.0,
+            "classifier": True, "pooling": "mean", "dual": True,
+        },
+    }
+    cfg = ExperimentConfig(raw).validate()
+    ds = SequenceDataset.registry["aan"](**cfg.dataset)
+    ds.setup()
+    cfg.derive_runtime_fields(ds)
+    assert ds.train_inputs.shape == (128, 2, 64)
     tl = ds.train_dataloader(batch_size=16, shuffle=True)
     el = ds.test_dataloader(batch_size=16, shuffle=False)
     path, perf = train(cfg, tl, el, ds.get_metrics(), None)

@@ -19,7 +19,9 @@ so its init spectra carry dropout noise).
 
 from __future__ import annotations
 
+import hashlib
 import os
+from collections import OrderedDict
 from typing import Any, Dict, Optional
 
 import jax
@@ -71,22 +73,59 @@ _j_s5 = jax.jit(eig_s5)
 
 # ------------------------------------------------------------------ helpers
 
+# Cross-checkpoint caches.  A fresh ``jax.jit`` wrapper has its own compile
+# cache, so rebuilding the collector / init graph per eval_eig call re-pays
+# the full remote compile (tens of seconds at WikiText/ListOps shapes) for
+# EVERY checkpoint of a sweep.  Init params and init spectra are pure
+# functions of (model config, seed, analysis batch), so they are cached
+# outright; the collector jit wrapper is cached by model structure.  Slots
+# are bounded to keep cached device params (up to ~250 MB for the 61M
+# WikiText model) from accumulating across families in one process.
+_CACHE_SLOTS = 2
+_collector_cache: OrderedDict = OrderedDict()
+_init_params_cache: OrderedDict = OrderedDict()
+_init_spectra_cache: OrderedDict = OrderedDict()
 
-def _make_collector(model, family: str):
-    """Jitted (params, x) → per-block activations.  Built once per eval_eig
-    call and shared by the init and trained passes (same shapes → one
-    compile; the second call is a cache hit)."""
 
-    def collect(mdl, inp):
-        h = mdl.encoder(inp)
-        outs = []
-        blocks = mdl.layers if family == "transformer" else mdl.blocks
-        for blk in blocks:
-            h = blk(h)
-            outs.append(h)
-        return outs
+def _cached(cache: OrderedDict, key, make):
+    if key in cache:
+        cache.move_to_end(key)
+        return cache[key]
+    val = make()
+    cache[key] = val
+    while len(cache) > _CACHE_SLOTS:
+        cache.popitem(last=False)
+    return val
 
-    return jax.jit(lambda p, inp: model.apply({"params": p}, inp, method=collect))
+
+def _config_key(model_config: Dict[str, Any]) -> str:
+    return repr(sorted(model_config.items(), key=lambda kv: kv[0]))
+
+
+def _batch_fingerprint(x) -> str:
+    return hashlib.blake2b(np.ascontiguousarray(x).tobytes(), digest_size=16).hexdigest()
+
+
+def _make_collector(model, family: str, model_config=None):
+    """Jitted (params, x) → per-block activations.  Cached by model structure
+    so every checkpoint of a sweep reuses one compiled graph; the init and
+    trained passes share it too (same shapes → one compile)."""
+
+    def build():
+        def collect(mdl, inp):
+            h = mdl.encoder(inp)
+            outs = []
+            blocks = mdl.layers if family == "transformer" else mdl.blocks
+            for blk in blocks:
+                h = blk(h)
+                outs.append(h)
+            return outs
+
+        return jax.jit(lambda p, inp: model.apply({"params": p}, inp, method=collect))
+
+    if model_config is None:
+        return build()
+    return _cached(_collector_cache, (_config_key(model_config), family), build)
 
 
 def _extract_attention_family(
@@ -198,15 +237,26 @@ def _init_params(model_config, batch_size, seed, family, sample_input):
     batch-1 sample; the init forward is jitted (one compile instead of
     eager per-primitive dispatch through the axon tunnel).  The HiPPO host
     eigh inside the S4/S5 initializers operates on static numpy values and
-    runs at trace time, preserving bit-level init parity."""
-    _, eval_model, _ = build_models(dict(model_config), padded=False)
-    rng = jax.random.PRNGKey(seed)
-    init_rng, _ = jax.random.split(rng)
-    p_rng, d_rng = jax.random.split(init_rng)
-    variables = jax.jit(eval_model.init)(
-        {"params": p_rng, "dropout": d_rng}, sample_input
+    runs at trace time, preserving bit-level init parity.  The result is a
+    pure function of (config, seed, sample shape/dtype), so it is cached
+    across checkpoints — the per-checkpoint init recompile was the dominant
+    warm analysis cost at LM shapes."""
+
+    def build():
+        _, eval_model, _ = build_models(dict(model_config), padded=False)
+        rng = jax.random.PRNGKey(seed)
+        init_rng, _ = jax.random.split(rng)
+        p_rng, d_rng = jax.random.split(init_rng)
+        variables = jax.jit(eval_model.init)(
+            {"params": p_rng, "dropout": d_rng}, sample_input
+        )
+        return eval_model, variables["params"]
+
+    key = (
+        _config_key(model_config), seed,
+        tuple(sample_input.shape), str(sample_input.dtype),
     )
-    return eval_model, variables["params"]
+    return _cached(_init_params_cache, key, build)
 
 
 # ------------------------------------------------------------------ pipeline
@@ -241,9 +291,15 @@ def eval_eig(
                                model_config["input_dim"], lang_model=True)
 
         model, init_p = _init_params(model_config, 1, seed, family, inputs[:1])
-        collector = _make_collector(model, family)
-        eig_init = _extract_attention_family(
-            model, init_p, inputs, model_config, collector
+        collector = _make_collector(model, family, model_config)
+        # init spectra depend only on (config, seed, analysis batch) — reuse
+        # across the checkpoints of a sweep instead of re-extracting
+        eig_init = _cached(
+            _init_spectra_cache,
+            (_config_key(model_config), seed, _batch_fingerprint(inputs)),
+            lambda: _extract_attention_family(
+                model, init_p, inputs, model_config, collector
+            ),
         )
 
         trained_p = load_params_any(path, model_config)
@@ -295,8 +351,18 @@ def eval_eig(
         # yields identical params without paying a full-batch forward
         sample = jnp.ones((1, model_config["seq_len"], model_config["input_dim"]))
         eig_impl = conf_args.get("eig_impl", "host")
-        model, init_p = _init_params(model_config, batch_size, seed, family, sample)
-        eig_init = _extract_ssm_family(_ssm_layer_params(init_p), model_config, eig_impl)
+
+        def _init_spectra():
+            _, init_p = _init_params(model_config, batch_size, seed, family, sample)
+            return _extract_ssm_family(_ssm_layer_params(init_p), model_config, eig_impl)
+
+        # SSM spectra are params-only → init spectra are a pure function of
+        # (config, seed); skip the init graph compile on warm checkpoints
+        eig_init = _cached(
+            _init_spectra_cache,
+            (_config_key(model_config), seed, eig_impl, "ssm"),
+            _init_spectra,
+        )
 
         trained_layers = _ssm_layer_params(load_params_any(path, model_config))
         eig = _extract_ssm_family(trained_layers, model_config, eig_impl)
