@@ -293,6 +293,45 @@ def test_aan_dual_retrieval_end_to_end(tmp_path):
 
 
 @pytest.mark.slow
+def test_pathfinder_s4_end_to_end(tmp_path):
+    """PathFinder end-to-end through the epoch-driven S4 path: flattened
+    32×32 images (L1024) with batch-norm + plateau scheduling, mirroring
+    the launchable configs/tasks/pathfinder/pathfinder-s4.yaml."""
+    from tlie_tpu.training import train
+
+    raw = {
+        "seed": 7,
+        "save": str(tmp_path / "ck-pathfinder"),
+        "dataset": {
+            "name": "PathFinder", "_name_": "pathfinder", "synthetic": True,
+            "synthetic_train": 128, "synthetic_test": 32,
+        },
+        "train": {
+            "num_epochs": 2, "batch_size": 16, "lr": 1e-3, "wd": 0.05,
+            "ssm_lr": 1e-3, "cosine_anneal": True, "param_group": None,
+            "warmup": 0, "lr_min": 1e-7, "reduce_factor": 0.5,
+            "lr_patience": 10,
+        },
+        "model": {
+            "layer": "s4", "dt_min": 0.001, "dt_max": 0.1, "num_layers": 1,
+            "activation": "full_glu", "input_dim": 1, "output_dim": 2,
+            "hidden_dim": 16, "state_dim": 8, "dropout": 0.0, "norm": "batch",
+            "pooling": "mean", "prenorm": False, "dual": False, "decode": False,
+            "ssm_lr_vars": ["Lambda_re", "Lambda_im", "P", "B", "log_step"],
+        },
+    }
+    cfg = ExperimentConfig(raw).validate()
+    ds = SequenceDataset.registry["pathfinder"](**cfg.dataset)
+    ds.setup()
+    cfg.derive_runtime_fields(ds)
+    assert ds.train_inputs.shape == (128, 1024, 1)
+    tl = ds.train_dataloader(batch_size=16, shuffle=True)
+    el = ds.test_dataloader(batch_size=16, shuffle=False)
+    path, perf = train(cfg, tl, el, ds.get_metrics(layer="s4"), None)
+    assert path is not None and 0.0 <= perf <= 1.0
+
+
+@pytest.mark.slow
 def test_mamba2_pseudo_lti_end_to_end_with_analysis(tmp_path):
     """The pseudo-LTI Mamba-2 variant (SSD_LTI: A = −softplus(A), β ≡ 1)
     trains and its analysis path extracts λ = exp(β·A) per head — the
