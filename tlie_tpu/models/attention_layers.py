@@ -31,7 +31,7 @@ from ..ops.linear_attention import (
     chunked_linear_attention,
     cumulative_key_normalizer,
 )
-from .layers import DepthwiseCausalConv
+from .layers import DepthwiseCausalConv, torch_linear_init
 
 
 def _split_heads(x, num_heads):
@@ -97,7 +97,8 @@ class MHA(nn.Module):
         L = x.shape[-2]
 
         qkv = nn.Dense(
-            2 * d_qk + self.d_model, use_bias=self.bias, name="Wqkv", dtype=self.dtype
+            2 * d_qk + self.d_model, use_bias=self.bias, name="Wqkv",
+            dtype=self.dtype, **torch_linear_init(self.d_model),
         )(x)
 
         if self.dim_conv > 0:
@@ -143,9 +144,10 @@ class MHA(nn.Module):
                 context
             )
 
-        return nn.Dense(self.d_model, name="out_proj", dtype=self.dtype)(
-            _merge_heads(context)
-        )
+        return nn.Dense(
+            self.d_model, name="out_proj", dtype=self.dtype,
+            **torch_linear_init(self.d_model),
+        )(_merge_heads(context))
 
 
 class MHNA(nn.Module):
@@ -174,11 +176,12 @@ class MHNA(nn.Module):
 
         vqkn = nn.Dense(
             self.d_model + 2 * d_qk + self.num_heads, use_bias=self.bias,
-            name="Wvqkn", dtype=self.dtype,
+            name="Wvqkn", dtype=self.dtype, **torch_linear_init(self.d_model),
         )(x)
         vqk = vqkn[..., : self.d_model + 2 * d_qk]
-        # the learned normaliser decay is f32 throughout (it exponentiates)
-        n = vqkn[..., self.d_model + 2 * d_qk :].astype(jnp.float32)  # (B, L, H)
+        # the learned normaliser decay is ≥f32 throughout (it exponentiates)
+        n = vqkn[..., self.d_model + 2 * d_qk :]  # (B, L, H)
+        n = n.astype(jnp.promote_types(n.dtype, jnp.float32))
 
         if self.dim_conv > 0:
             if self.conv_type == "full":
@@ -223,6 +226,7 @@ class MHNA(nn.Module):
 
         output = n.astype(output.dtype)[..., None] * output
         output = nn.Dropout(self.dropout, deterministic=self.deterministic)(output)
-        return nn.Dense(self.d_model, name="out_proj", dtype=self.dtype)(
-            _merge_heads(output)
-        )
+        return nn.Dense(
+            self.d_model, name="out_proj", dtype=self.dtype,
+            **torch_linear_init(self.d_model),
+        )(_merge_heads(output))

@@ -17,6 +17,30 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+def torch_linear_init(fan_in: int) -> dict:
+    """torch ``nn.Linear`` default init: kaiming_uniform(a=√5) weight
+    ⇒ U(±1/√fan_in), bias U(±1/√fan_in).
+
+    The reference's transformer/Mamba families are torch modules relying on
+    these defaults; flax's lecun-normal + zero-bias defaults sample a
+    different distribution (≈1.7× wider weights, no bias noise), which
+    changes training dynamics even though shapes/names match.  All
+    torch-family Denses take these initializers; the JAX-side families
+    (LRU/S4/S5 backbone) keep flax defaults, as the reference does."""
+    k = 1.0 / math.sqrt(fan_in)
+
+    def _uniform(rng, shape, dtype=jnp.float32):
+        return jax.random.uniform(rng, shape, dtype, -k, k)
+
+    return {"kernel_init": _uniform, "bias_init": _uniform}
+
+
+# torch ``nn.Embedding`` default init: N(0, 1) — flax's default is
+# N(0, 1/√features), an ~11× scale difference at d_model 128 that dominates
+# the residual stream at init
+torch_embed_init = nn.initializers.normal(stddev=1.0)
+
+
 class MLP(nn.Module):
     """Dense→GELU→dropout→Dense (ref models/common.py:33-48)."""
 
@@ -29,10 +53,12 @@ class MLP(nn.Module):
     @nn.compact
     def __call__(self, x):
         out_dim = self.output_dim if self.output_dim is not None else x.shape[-1]
-        x = nn.Dense(self.mlp_dim, name="encoder", dtype=self.dtype)(x)
-        x = nn.gelu(x)
+        x = nn.Dense(self.mlp_dim, name="encoder", dtype=self.dtype,
+                     **torch_linear_init(x.shape[-1]))(x)
+        x = nn.gelu(x, approximate=False)  # torch nn.GELU() is erf-exact
         x = nn.Dropout(self.dropout, deterministic=self.deterministic)(x)
-        x = nn.Dense(out_dim, name="decoder", dtype=self.dtype)(x)
+        x = nn.Dense(out_dim, name="decoder", dtype=self.dtype,
+                     **torch_linear_init(self.mlp_dim))(x)
         return nn.Dropout(self.dropout, deterministic=self.deterministic)(x)
 
 
@@ -46,7 +72,8 @@ class GLU(nn.Module):
     @nn.compact
     def __call__(self, x):
         d = x.shape[-1]
-        out = nn.Dense(2 * d, name="linear", dtype=self.dtype)(x)
+        out = nn.Dense(2 * d, name="linear", dtype=self.dtype,
+                       **torch_linear_init(d))(x)
         out = out[..., :d] * jax.nn.sigmoid(out[..., d:])
         return nn.Dropout(self.dropout, deterministic=self.deterministic)(out)
 
@@ -63,14 +90,18 @@ class LAMBDA(nn.Module):
     @nn.compact
     def __call__(self, x):
         d = x.shape[-1]
-        xz = nn.Dense(2 * d, name="encoder", dtype=self.dtype)(x)
+        xz = nn.Dense(2 * d, name="encoder", dtype=self.dtype,
+                      **torch_linear_init(d))(x)
         alpha_init = -math.log(1.0 / self.init - 1.0)
         alpha = self.param("alpha", lambda rng, shape: jnp.full(shape, alpha_init), (1,))
         a = jax.nn.sigmoid(alpha)
 
         glu_out = xz[..., :d] * jax.nn.sigmoid(xz[..., d:])
-        mlp_h = nn.Dropout(self.dropout, deterministic=self.deterministic)(nn.gelu(xz))
-        mlp_out = nn.Dense(d, name="decoder", dtype=self.dtype)(mlp_h)
+        mlp_h = nn.Dropout(self.dropout, deterministic=self.deterministic)(
+            nn.gelu(xz, approximate=False)  # torch nn.GELU() is erf-exact
+        )
+        mlp_out = nn.Dense(d, name="decoder", dtype=self.dtype,
+                           **torch_linear_init(2 * d))(mlp_h)
 
         out = a * glu_out + (1 - a) * mlp_out
         return nn.Dropout(self.dropout, deterministic=self.deterministic)(out)
@@ -95,9 +126,11 @@ class ClassifierHead(nn.Module):
             x = x[..., 0, :]
         # anything else: no pooling
         if self.mlp_dim != 0:
-            x = nn.Dense(self.mlp_dim, name="encoder")(x)
+            x = nn.Dense(self.mlp_dim, name="encoder",
+                         **torch_linear_init(x.shape[-1]))(x)
             x = nn.relu(x)
-            x = nn.Dense(self.num_classes, name="decoder")(x)
+            x = nn.Dense(self.num_classes, name="decoder",
+                         **torch_linear_init(self.mlp_dim))(x)
         return x
 
 
@@ -113,7 +146,8 @@ class TokenEmbeddings(nn.Module):
     @nn.compact
     def __call__(self, input_ids, position_ids=None):
         emb = nn.Embed(
-            self.vocab_size, self.embed_dim, name="word_embeddings", dtype=self.dtype
+            self.vocab_size, self.embed_dim, name="word_embeddings",
+            dtype=self.dtype, embedding_init=torch_embed_init,
         )(input_ids)
         if self.max_position_embeddings > 0:
             if position_ids is None:
@@ -123,6 +157,7 @@ class TokenEmbeddings(nn.Module):
                 self.embed_dim,
                 name="position_embeddings",
                 dtype=self.dtype,
+                embedding_init=torch_embed_init,
             )(position_ids)
         return emb
 
@@ -136,9 +171,12 @@ class MATCH(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.relu(nn.Dense(self.mlp_dim, name="encoder")(x))
-        x = nn.relu(nn.Dense(self.mlp_dim // 2, name="middle")(x))
-        return nn.Dense(self.output_dim, name="decoder")(x)
+        x = nn.relu(nn.Dense(self.mlp_dim, name="encoder",
+                             **torch_linear_init(x.shape[-1]))(x))
+        x = nn.relu(nn.Dense(self.mlp_dim // 2, name="middle",
+                             **torch_linear_init(self.mlp_dim))(x))
+        return nn.Dense(self.output_dim, name="decoder",
+                        **torch_linear_init(self.mlp_dim // 2))(x)
 
 
 class DepthwiseCausalConv(nn.Module):

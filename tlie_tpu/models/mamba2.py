@@ -22,7 +22,8 @@ import numpy as np
 from flax import linen as nn
 
 from ..ops.ssd import ssd_chunked_scan
-from .layers import GLU, MATCH, DepthwiseCausalConv, TokenEmbeddings
+from .layers import (GLU, MATCH, DepthwiseCausalConv, TokenEmbeddings,
+                     torch_linear_init)
 
 
 def _dt_bias_init(rng, nheads, dt_min, dt_max, dt_init_floor=1e-4):
@@ -67,7 +68,8 @@ class SSD(nn.Module):
 
         d_in_proj = d_inner + 2 * g * n + nheads
         xbcdt = nn.Dense(
-            d_in_proj, use_bias=self.bias, name="in_proj", dtype=self.dtype
+            d_in_proj, use_bias=self.bias, name="in_proj", dtype=self.dtype,
+            **torch_linear_init(self.d_model),
         )(u)
 
         dt_bias = self.param(
@@ -116,7 +118,8 @@ class SSD(nn.Module):
         )
         y = y.reshape(bsz, L, d_inner)
         return nn.Dense(
-            self.d_model, use_bias=self.bias, name="out_proj", dtype=self.dtype
+            self.d_model, use_bias=self.bias, name="out_proj", dtype=self.dtype,
+            **torch_linear_init(d_inner),
         )(y)
 
 
@@ -156,7 +159,8 @@ class SSD_LTI(nn.Module):
 
         d_in_proj = d_inner + 2 * g * n + g
         xbcdt = nn.Dense(
-            d_in_proj, use_bias=self.bias, name="in_proj", dtype=self.dtype
+            d_in_proj, use_bias=self.bias, name="in_proj", dtype=self.dtype,
+            **torch_linear_init(self.d_model),
         )(u)
 
         dt_bias = self.param(
@@ -205,7 +209,8 @@ class SSD_LTI(nn.Module):
         )
         y = y.reshape(bsz, L, d_inner)
         return nn.Dense(
-            self.d_model, use_bias=self.bias, name="out_proj", dtype=self.dtype
+            self.d_model, use_bias=self.bias, name="out_proj", dtype=self.dtype,
+            **torch_linear_init(d_inner),
         )(y)
 
 
@@ -247,7 +252,7 @@ class MambaBlock(nn.Module):
         )
         if self.norm != "layer":
             raise RuntimeError("only layer norm is supported for Mamba blocks")
-        self.norm_layer = nn.LayerNorm()
+        self.norm_layer = nn.LayerNorm(epsilon=1e-5)  # torch nn.LayerNorm eps parity
         self.drop = nn.Dropout(self.dropout, deterministic=self.deterministic)
 
     def __call__(self, x):
@@ -255,7 +260,7 @@ class MambaBlock(nn.Module):
         if self.prenorm:
             x = self.norm_layer(x)
         x = self.mamba(x)
-        x = self.drop(nn.gelu(x))
+        x = self.drop(nn.gelu(x, approximate=False))  # torch nn.GELU() is erf-exact
         if self.glu_layer is not None:
             x = self.glu_layer(x)
         x = self.drop(x)
@@ -285,7 +290,9 @@ class Mamba(nn.Module):
         if cfg.get("token_embedding", False):
             self.encoder = TokenEmbeddings(hidden_dim, cfg["vocab_size"], 0, dtype=dtype)
         else:
-            self.encoder = nn.Dense(hidden_dim, dtype=dtype)
+            self.encoder = nn.Dense(
+                hidden_dim, dtype=dtype, **torch_linear_init(cfg["input_dim"])
+            )
         self.blocks = [
             MambaBlock(
                 version=cfg["version"],
@@ -304,7 +311,9 @@ class Mamba(nn.Module):
             )
             for _ in range(cfg["num_layers"])
         ]
-        self.decoder = nn.Dense(cfg["output_dim"], dtype=dtype)
+        self.decoder = nn.Dense(
+            cfg["output_dim"], dtype=dtype, **torch_linear_init(hidden_dim)
+        )
         if self.dual:
             self.match = MATCH(cfg["output_dim"], cfg["output_dim"])
 

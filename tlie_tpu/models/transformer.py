@@ -17,7 +17,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .attention_layers import MHA, MHNA
-from .layers import GLU, LAMBDA, MATCH, MLP, ClassifierHead, TokenEmbeddings
+from .layers import (GLU, LAMBDA, MATCH, MLP, ClassifierHead,
+                     TokenEmbeddings, torch_linear_init)
 
 
 class TransformerBlock(nn.Module):
@@ -108,7 +109,7 @@ class TransformerBlock(nn.Module):
 
         if cfg["norm"] != "layer":
             raise RuntimeError(f"{cfg['norm']} norm not implemented yet!")
-        self.norm = nn.LayerNorm()
+        self.norm = nn.LayerNorm(epsilon=1e-5)  # torch nn.LayerNorm eps parity
         self.drop = nn.Dropout(dropout, deterministic=self.deterministic)
 
     def __call__(self, x):
@@ -154,7 +155,9 @@ class Transformer(nn.Module):
                 dtype=dtype,
             )
         else:
-            self.encoder = nn.Dense(hidden_dim, dtype=dtype)
+            self.encoder = nn.Dense(
+                hidden_dim, dtype=dtype, **torch_linear_init(cfg["input_dim"])
+            )
         self.layers = [
             TransformerBlock(hidden_dim, cfg, deterministic=self.deterministic)
             for _ in range(cfg["num_layers"])
@@ -164,12 +167,15 @@ class Transformer(nn.Module):
                 cfg["mixer_dim"], cfg["output_dim"], cfg["pooling"]
             )
         else:
-            self.decoder = nn.Dense(cfg["output_dim"], use_bias=False, dtype=dtype)
+            self.decoder = nn.Dense(
+                cfg["output_dim"], use_bias=False, dtype=dtype,
+                **torch_linear_init(hidden_dim),
+            )
         if self.dual:
             self.match = MATCH(cfg["mixer_dim"], cfg["output_dim"])
         if cfg["norm"] != "layer":
             raise RuntimeError(f"{cfg['norm']} norm not implemented yet!")
-        self.norm = nn.LayerNorm()
+        self.norm = nn.LayerNorm(epsilon=1e-5)  # torch nn.LayerNorm eps parity
         self.drop = nn.Dropout(cfg["dropout"], deterministic=self.deterministic)
 
     def features(self, x):

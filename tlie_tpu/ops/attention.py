@@ -23,7 +23,8 @@ def _xla_causal_attention(q, k, v, scale):
     scores = jnp.einsum("bthd,bshd->bhts", q, k * scale)
     causal = jnp.tril(jnp.ones((L, L), dtype=bool))
     scores = jnp.where(causal[None, None], scores, jnp.full((), -1e30, scores.dtype))
-    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(v.dtype)
+    f32 = jnp.promote_types(scores.dtype, jnp.float32)
+    probs = jax.nn.softmax(scores.astype(f32), axis=-1).astype(v.dtype)
     return jnp.einsum("bhts,bshd->bthd", probs, v)
 
 
