@@ -69,8 +69,9 @@ def _run(cfg):
     metrics_fn = ds.get_metrics(layer=cfg.layer)
     trainloader = ds.train_dataloader(batch_size=cfg.train["batch_size"], shuffle=True)
     testloader = ds.test_dataloader(batch_size=cfg.train["batch_size"], shuffle=False)
-    path, perf = train(cfg, trainloader, testloader, metrics_fn, None)
-    return ds, path, perf
+    result = train(cfg, trainloader, testloader, metrics_fn, None)
+    path, perf = result
+    return ds, path, perf, result
 
 
 @pytest.mark.slow
@@ -91,7 +92,7 @@ def test_lin_attention_end_to_end_with_analysis(tmp_path):
             "dual": False,
         },
     )
-    ds, path, perf = _run(cfg)
+    ds, path, perf, _result = _run(cfg)
     assert path is not None and os.path.isdir(path)
     assert perf > 1.0 / 64  # beats chance
 
@@ -140,6 +141,16 @@ def test_lin_attention_end_to_end_with_analysis(tmp_path):
     np.testing.assert_array_equal(eig2, eig)
     np.testing.assert_array_equal(eig_init2, eig_init)
 
+    # in-memory params branch (the primary launch.py train→analyze path —
+    # no orbax restore) must reproduce the restore branch bit-for-bit
+    loader3 = ds.test_dataloader(batch_size=16, shuffle=False)
+    eig3, eig_init3, *_ = _ee_mod.eval_eig(
+        cfg.raw, conf_args, None, cfg.dataset, loader3, path, perf,
+        params=_result.state.params,
+    )
+    np.testing.assert_array_equal(eig3, eig)
+    np.testing.assert_array_equal(eig_init3, eig_init)
+
 
 @pytest.mark.slow
 def test_lru_end_to_end_with_analysis(tmp_path):
@@ -158,7 +169,7 @@ def test_lru_end_to_end_with_analysis(tmp_path):
         extra_train={"ssm_lr": 1e-3, "lr_min": 1e-7, "reduce_factor": 0.5,
                      "lr_patience": 10},
     )
-    ds, path, perf = _run(cfg)
+    ds, path, perf, _result = _run(cfg)
     assert path is not None
 
     from tlie_tpu.analysis import eval_eig
@@ -174,6 +185,15 @@ def test_lru_end_to_end_with_analysis(tmp_path):
     radii = np.abs(eig_init)
     assert radii.min() >= 0.5 - 1e-5 and radii.max() <= 0.95 + 1e-5
     assert pct.shape == (7, 2) and pct_ph.shape == (6, 2)
+
+    # SSM-family in-memory params branch ≡ restore branch
+    loader2 = ds.test_dataloader(batch_size=8, shuffle=False)
+    eig2, eig_init2, *_ = eval_eig(
+        cfg.raw, conf_args, None, cfg.dataset, loader2, path, perf,
+        params=_result.state.params,
+    )
+    np.testing.assert_allclose(eig2, eig, atol=1e-7)
+    np.testing.assert_array_equal(eig_init2, eig_init)
 
 
 def test_mqar_generator_invariants():
@@ -358,7 +378,7 @@ def test_mamba2_pseudo_lti_end_to_end_with_analysis(tmp_path):
         },
         extra_train={"total_steps": 10, "eval_every": 10},
     )
-    ds, path, perf = _run(cfg)
+    ds, path, perf, _result = _run(cfg)
     assert path is not None and os.path.isdir(path)
 
     from tlie_tpu.analysis import eval_eig

@@ -270,8 +270,16 @@ def eval_eig(
     loader,
     path_file: str,
     perf: float,
+    params=None,
 ):
-    """Full spectra pipeline; signature parity with ref eval_eig.py:462."""
+    """Full spectra pipeline; signature parity with ref eval_eig.py:462.
+
+    ``params`` (optional): the trained parameter tree, already in memory —
+    the primary train→analyze path (launch.py ``run_one``) hands the params
+    it just trained straight in, skipping the redundant orbax restore +
+    device re-upload of the checkpoint it wrote moments earlier.  Standalone
+    invocations (a bare checkpoint path, the reference contract
+    ref eval_eig.py:462-479) leave it None and restore from ``path_file``."""
     model_config = dict(args["model"])
     # spectra are extracted in full precision regardless of the training
     # compute dtype: the bf16 mixed-precision mode is a throughput knob only,
@@ -302,7 +310,7 @@ def eval_eig(
             ),
         )
 
-        trained_p = load_params_any(path, model_config)
+        trained_p = params if params is not None else load_params_any(path, model_config)
         eig = _extract_attention_family(
             model, trained_p, inputs, model_config, collector
         )
@@ -364,7 +372,8 @@ def eval_eig(
             _init_spectra,
         )
 
-        trained_layers = _ssm_layer_params(load_params_any(path, model_config))
+        trained_tree = params if params is not None else load_params_any(path, model_config)
+        trained_layers = _ssm_layer_params(trained_tree)
         eig = _extract_ssm_family(trained_layers, model_config, eig_impl)
 
         rad_init = np.abs(eig_init)

@@ -311,5 +311,6 @@ def _run_group(
             loader = dataset.test_dataloader(
                 batch_size=conf_args["batch_size"], shuffle=False
             )
+            # hand the unstacked in-memory params over — no orbax re-restore
             eval_eig(cfg_i.raw, conf_args, wandb_config, cfg_i.dataset,
-                     loader, path, perf)
+                     loader, path, perf, params=point_state.params)

@@ -107,6 +107,20 @@ def _evaluate(state, eval_model, testloader, seq_len, in_dim, lang_model, norm, 
     return float(np.mean(jax.device_get(losses))), float(np.mean(jax.device_get(perfs)))
 
 
+class TrainResult(tuple):
+    """``(checkpoint_path | None, final perf)`` — the reference ``train()``
+    contract (ref train.py:706) — that additionally carries the final
+    ``TrainState`` as ``.state`` so the in-process train→analyze path can
+    hand the trained params straight to ``eval_eig`` without re-restoring
+    the checkpoint it just wrote (the orbax restore + param re-upload was
+    the dominant warm analysis cost at LM shapes)."""
+
+    def __new__(cls, path, perf, state):
+        result = super().__new__(cls, (path, perf))
+        result.state = state
+        return result
+
+
 def train(
     config: ExperimentConfig,
     trainloader,
@@ -114,7 +128,8 @@ def train(
     metrics_fn: Callable,
     wandb_config: Optional[Dict[str, Any]] = None,
 ) -> Tuple[Optional[str], float]:
-    """Train one configuration; returns (checkpoint_path | None, final perf).
+    """Train one configuration; returns (checkpoint_path | None, final perf)
+    as a :class:`TrainResult` that also exposes the final train state.
 
     Contract parity with ref train.py:706-803.
     """
@@ -486,4 +501,4 @@ def train(
         save_checkpoint(path, state, cfg_tree)
 
     logger.finish()
-    return path, test_perf
+    return TrainResult(path, test_perf, state)

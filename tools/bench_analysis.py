@@ -68,7 +68,8 @@ def run_row(task: str, family: str) -> dict:
     tl = ds.train_dataloader(batch_size=bsz, shuffle=True)
     el = ds.test_dataloader(batch_size=bsz, shuffle=False)
     try:
-        path, perf = train(cfg, tl, el, ds.get_metrics(), None)
+        result = train(cfg, tl, el, ds.get_metrics(), None)
+        path, perf = result
         absz = ANALYSIS_BSZ[task]
         loader = ds.test_dataloader(batch_size=absz, shuffle=False)
         conf_args = {"batch_size": absz, "save_path": os.path.join(workdir, "out")}
@@ -81,8 +82,15 @@ def run_row(task: str, family: str) -> dict:
         t1 = time.perf_counter()
         eval_eig(cfg.raw, conf_args, None, cfg.dataset, loader, path, perf)
         warm = time.perf_counter() - t1
+        # in-memory pass: the primary launch.py train→analyze path hands the
+        # trained params over directly (no orbax restore / param re-upload)
+        t2 = time.perf_counter()
+        eval_eig(cfg.raw, conf_args, None, cfg.dataset, loader, path, perf,
+                 params=result.state.params)
+        warm_mem = time.perf_counter() - t2
         row = {"task": task, "family": family, "analysis_batch": absz,
-               "eval_eig_sec": round(dt, 2), "eval_eig_sec_warm": round(warm, 2)}
+               "eval_eig_sec": round(dt, 2), "eval_eig_sec_warm": round(warm, 2),
+               "eval_eig_sec_warm_inmem": round(warm_mem, 2)}
         print(json.dumps(row), flush=True)
         return row
     finally:
