@@ -283,11 +283,27 @@ def test_vocab_partition_specs_rules():
             "layers_0": {"attention": {"Wqkv": {"kernel": jnp.zeros((16, 48))}}},
         }
     }
+    params["params"]["layers_0"]["mixer"] = {
+        # per-block MLP/LAMBDA mixers have their own small "decoder" Dense
+        # (models/layers.py) — they must stay replicated, not vocab-sharded
+        "decoder": {"kernel": jnp.zeros((16, 16)), "bias": jnp.zeros((16,))}
+    }
+    params["params"]["match"] = {
+        "decoder": {"kernel": jnp.zeros((16, 2)), "bias": jnp.zeros((2,))}
+    }
+    params["params"]["classifier"] = {
+        "decoder": {"kernel": jnp.zeros((16, 10)), "bias": jnp.zeros((10,))}
+    }
     specs = vocab_partition_specs(params)["params"]
     assert specs["encoder"]["word_embeddings"]["embedding"] == P("model", None)
     assert specs["decoder"]["kernel"] == P(None, "model")
     assert specs["decoder"]["bias"] == P("model")
     assert specs["layers_0"]["attention"]["Wqkv"]["kernel"] == P()
+    # anchored rules: only the MODEL-level decoder is the vocab head
+    assert specs["layers_0"]["mixer"]["decoder"]["kernel"] == P()
+    assert specs["layers_0"]["mixer"]["decoder"]["bias"] == P()
+    assert specs["match"]["decoder"]["kernel"] == P()
+    assert specs["classifier"]["decoder"]["bias"] == P()
 
     # the placement is real: each model-axis shard holds vocab/2 rows
     from tlie_tpu.parallel.tp import mesh_2d, shard_vocab_parallel

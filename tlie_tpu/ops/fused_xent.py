@@ -14,7 +14,12 @@ attention.
 
 API: ``fused_softmax_xent(h, W, b, labels)`` → mean masked CE, with a
 custom VJP for (h, W, b).  Shapes: h (M, D), W (D, V), b (V,), labels (M,)
-with −100 ignored.  M, D, V must tile by (128, —, 512).
+with −100 ignored.  M must tile by 128; V may be ragged (e.g. GPT-2's
+50257): the trailing partial vocab tile is masked to −1e30 inside the
+kernel, so ragged vocabularies cost NO extra HBM traffic — no padded copy
+of the (D, V) decoder weight is ever materialised (the weights change every
+microstep of the scanned train block, so a padded copy could not be hoisted
+out of the step; in-kernel masking removes the cost entirely).
 
 Mixed precision: h/W/b may be bf16 — the MXU multiplies bf16 operands with
 f32 accumulation (``preferred_element_type``), all online statistics, the
@@ -26,10 +31,10 @@ returned in the primal dtypes.
 
 from __future__ import annotations
 
+import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -39,26 +44,29 @@ IGNORE = -100
 
 
 def fused_xent_eligible(M: int, D: int, V: int) -> bool:
-    # V needs no divisibility: ragged vocabularies (e.g. GPT-2's 50257) are
-    # tile-padded with zero kernel columns and a -1e30 bias, which contribute
-    # exp(-1e30 - m) = 0 to every statistic and zero gradient
+    # V needs no divisibility: a ragged trailing vocab tile is masked to
+    # -1e30 in-kernel, contributing exp(-1e30 - m) = 0 to every statistic
+    # and zero gradient
     return M % _TM == 0 and D <= 1024
 
 
-def _pad_vocab(w, b):
-    V = w.shape[1]
-    pad = (-V) % _TV
-    if pad:
-        w = jnp.pad(w, ((0, 0), (0, pad)))
-        b = jnp.concatenate([b, jnp.full((pad,), -1e30, b.dtype)])
-    return w, b
+def _num_v_tiles(V: int) -> int:
+    return (V + _TV - 1) // _TV
+
+
+def _col_mask(vj, v_actual: int, shape):
+    """True for in-vocab columns of tile ``vj`` (the trailing tile of a
+    ragged vocabulary reads out-of-bounds lanes whose contents are
+    unspecified — they are masked before any statistic)."""
+    col = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    return vj * _TV + col < v_actual
 
 
 # ------------------------------------------------------------- forward
 
 
 def _fwd_kernel(h_ref, w_ref, b_ref, y_ref, loss_ref, lse_ref,
-                m_scr, s_scr, p_scr):
+                m_scr, s_scr, p_scr, *, v_actual):
     vj = pl.program_id(1)
     nv = pl.num_programs(1)
 
@@ -70,6 +78,7 @@ def _fwd_kernel(h_ref, w_ref, b_ref, y_ref, loss_ref, lse_ref,
 
     logits = jnp.dot(h_ref[...], w_ref[...], preferred_element_type=jnp.float32)
     logits = logits + b_ref[...]
+    logits = jnp.where(_col_mask(vj, v_actual, logits.shape), logits, -1e30)
 
     m_old = m_scr[...]
     m_new = jnp.maximum(m_old, jnp.max(logits, axis=-1, keepdims=True))
@@ -97,11 +106,10 @@ def _fwd_kernel(h_ref, w_ref, b_ref, y_ref, loss_ref, lse_ref,
 
 def _fwd(h, w, b, labels):
     M, D = h.shape
-    w, b = _pad_vocab(w, b)
     V = w.shape[1]
-    grid = (M // _TM, V // _TV)
+    grid = (M // _TM, _num_v_tiles(V))
     loss, lse = pl.pallas_call(
-        _fwd_kernel,
+        functools.partial(_fwd_kernel, v_actual=V),
         grid=grid,
         in_specs=[
             pl.BlockSpec((_TM, D), lambda mi, vj: (mi, 0), memory_space=pltpu.VMEM),
@@ -134,9 +142,10 @@ def _fwd(h, w, b, labels):
 # dh = dlogits @ Wᵀ ;  dW = hᵀ @ dlogits ;  db = Σ_rows dlogits
 
 
-def _dlogits(h_ref, w_ref, b_ref, y_ref, lse_ref, g_ref, vj):
+def _dlogits(h_ref, w_ref, b_ref, y_ref, lse_ref, g_ref, vj, v_actual):
     logits = jnp.dot(h_ref[...], w_ref[...], preferred_element_type=jnp.float32)
     logits = logits + b_ref[...]
+    logits = jnp.where(_col_mask(vj, v_actual, logits.shape), logits, -1e30)
     p = jnp.exp(logits - lse_ref[...])
     labels = y_ref[...]
     loc = labels - vj * _TV
@@ -152,11 +161,16 @@ def _cast_for_dot(t, ref):
     return t.astype(ref.dtype) if ref.dtype == jnp.bfloat16 else t
 
 
-def _bwd_dh_kernel(h_ref, w_ref, b_ref, y_ref, lse_ref, g_ref, dh_ref):
+def _bwd_dh_kernel(h_ref, w_ref, b_ref, y_ref, lse_ref, g_ref, dh_ref, *, v_actual):
     vj = pl.program_id(1)
-    t = _dlogits(h_ref, w_ref, b_ref, y_ref, lse_ref, g_ref, vj)
+    t = _dlogits(h_ref, w_ref, b_ref, y_ref, lse_ref, g_ref, vj, v_actual)
+    # t == 0 on out-of-vocab lanes, but the contraction still touches the
+    # garbage w lanes (0·NaN = NaN) — zero them before the dot
+    w_tile = jnp.where(
+        _col_mask(vj, v_actual, w_ref.shape), w_ref[...], jnp.zeros((), w_ref.dtype)
+    )
     contrib = jax.lax.dot_general(
-        _cast_for_dot(t, w_ref), w_ref[...], (((1,), (1,)), ((), ())),
+        _cast_for_dot(t, w_tile), w_tile, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
@@ -167,10 +181,11 @@ def _bwd_dh_kernel(h_ref, w_ref, b_ref, y_ref, lse_ref, g_ref, dh_ref):
     dh_ref[...] = dh_ref[...] + contrib
 
 
-def _bwd_dw_kernel(h_ref, w_ref, b_ref, y_ref, lse_ref, g_ref, dw_ref, db_ref):
+def _bwd_dw_kernel(h_ref, w_ref, b_ref, y_ref, lse_ref, g_ref, dw_ref, db_ref,
+                   *, v_actual):
     mi = pl.program_id(1)  # rows innermost: dW tile revisited consecutively
     vj = pl.program_id(0)
-    t = _dlogits(h_ref, w_ref, b_ref, y_ref, lse_ref, g_ref, vj)
+    t = _dlogits(h_ref, w_ref, b_ref, y_ref, lse_ref, g_ref, vj, v_actual)
     contrib = jax.lax.dot_general(
         h_ref[...], _cast_for_dot(t, h_ref), (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -187,17 +202,16 @@ def _bwd_dw_kernel(h_ref, w_ref, b_ref, y_ref, lse_ref, g_ref, dw_ref, db_ref):
 
 def _bwd(h, w, b, labels, lse, g_rows):
     M, D = h.shape
-    V_orig = w.shape[1]
-    w, b = _pad_vocab(w, b)
     V = w.shape[1]
+    nv = _num_v_tiles(V)
     y2 = labels.reshape(M, 1).astype(jnp.int32)
     lse2 = lse.reshape(M, 1)
     g2 = g_rows.reshape(M, 1)
     b2 = b.reshape(1, V)
 
     dh = pl.pallas_call(
-        _bwd_dh_kernel,
-        grid=(M // _TM, V // _TV),
+        functools.partial(_bwd_dh_kernel, v_actual=V),
+        grid=(M // _TM, nv),
         in_specs=[
             pl.BlockSpec((_TM, D), lambda mi, vj: (mi, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((D, _TV), lambda mi, vj: (0, vj), memory_space=pltpu.VMEM),
@@ -214,8 +228,8 @@ def _bwd(h, w, b, labels, lse, g_rows):
     )(h, w, b2, y2, lse2, g2)
 
     dw, db = pl.pallas_call(
-        _bwd_dw_kernel,
-        grid=(V // _TV, M // _TM),
+        functools.partial(_bwd_dw_kernel, v_actual=V),
+        grid=(nv, M // _TM),
         in_specs=[
             pl.BlockSpec((_TM, D), lambda vj, mi: (mi, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((D, _TV), lambda vj, mi: (0, vj), memory_space=pltpu.VMEM),
@@ -236,7 +250,7 @@ def _bwd(h, w, b, labels, lse, g_rows):
             dimension_semantics=("parallel", "arbitrary"),
         ),
     )(h, w, b2, y2, lse2, g2)
-    return dh, dw[:, :V_orig], db[0, :V_orig]
+    return dh, dw, db[0]
 
 
 # ------------------------------------------------------------- public op

@@ -41,8 +41,13 @@ def _ring_block(q_blk, k_blk, v_blk, *, scale, axis_name):
 
     qf = q_blk.astype(jnp.float32)
     # initial accumulators must be marked varying over the mesh axis so the
-    # fori_loop carry type matches the per-device outputs
-    vary = lambda x: lax.pvary(x, (axis_name,))
+    # fori_loop carry type matches the per-device outputs; pvary is
+    # deprecated in favour of pcast(..., to="varying") — keep a fallback
+    # shim for older JAX, mirroring the shard_map import shim below
+    if hasattr(lax, "pcast"):
+        vary = lambda x: lax.pcast(x, (axis_name,), to="varying")
+    else:  # pragma: no cover - older JAX
+        vary = lambda x: lax.pvary(x, (axis_name,))
     m0 = vary(jnp.full((B, Lb, H), -jnp.inf, jnp.float32))
     l0 = vary(jnp.zeros((B, Lb, H), jnp.float32))
     acc0 = vary(jnp.zeros((B, Lb, H, Dv), jnp.float32))

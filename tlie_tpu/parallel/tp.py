@@ -26,22 +26,47 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax.tree_util import keystr, tree_flatten_with_path, tree_unflatten
 
-# (path-suffix match, expected ndim, spec) — vocab axis sharded on "model".
+# (path-suffix segments, expected ndim, spec) — vocab axis sharded on "model".
 # word_embeddings: (vocab, hidden); decoder kernel: (hidden, vocab);
 # decoder bias: (vocab,).  Suffixes mirror the reference checkpoint tree
 # (ref models/common.py:117-176 TokenEmbeddings, models/mamba.py:342-389 /
 # models/transformer.py:113-161 decoder naming, preserved here for orbax
 # layout parity).
 _VOCAB_RULES = (
-    ("word_embeddings/embedding", 2, P("model", None)),
-    ("decoder/kernel", 2, P(None, "model")),
-    ("decoder/bias", 1, P("model")),
+    (("word_embeddings", "embedding"), 2, P("model", None)),
+    (("decoder", "kernel"), 2, P(None, "model")),
+    (("decoder", "bias"), 1, P("model")),
 )
 
+# Per-block / per-head subtrees that legitimately contain a "decoder" Dense
+# of their own (transformer MLP/LAMBDA mixers, the MATCH and classifier
+# heads).  Only the MODEL-level decoder/embedding is the vocab head; a
+# substring match would silently tensor-parallel-shard these small Denses
+# too, adding per-layer collectives and risking shards smaller than the
+# model axis.
+_EXCLUDED_SEGMENTS = ("mixer", "match", "classifier", "attention", "glu_layer")
 
-def _spec_for(path: str, ndim: int) -> P:
+
+def _path_segments(path) -> tuple:
+    segs = []
+    for entry in path:
+        for attr in ("key", "name", "idx"):
+            if hasattr(entry, attr):
+                segs.append(str(getattr(entry, attr)))
+                break
+        else:
+            segs.append(str(entry))
+    return tuple(segs)
+
+
+def _spec_for(segs: tuple, ndim: int) -> P:
+    if any(
+        s in _EXCLUDED_SEGMENTS or s.startswith(("layers_", "blocks_"))
+        for s in segs
+    ):
+        return P()
     for suffix, want_ndim, spec in _VOCAB_RULES:
-        if suffix in path and ndim == want_ndim:
+        if segs[-len(suffix):] == suffix and ndim == want_ndim:
             return spec
     return P()
 
@@ -53,7 +78,7 @@ def vocab_partition_specs(tree: Any) -> Any:
     specs = []
     for path, leaf in leaves:
         ndim = getattr(leaf, "ndim", 0)
-        specs.append(_spec_for(keystr(path).replace("']['", "/"), ndim))
+        specs.append(_spec_for(_path_segments(path), ndim))
     return tree_unflatten(treedef, specs)
 
 
