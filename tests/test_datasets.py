@@ -150,6 +150,48 @@ def test_imdb_synthetic_char_pipeline():
     assert ds.train_inputs[i, L - 1] == ds.vocab["<eos>"]
 
 
+def test_imdb_basic_english_golden_tokens():
+    """torchtext ``basic_english`` pipeline golden cases (the word-level
+    tokenizer; ref lra.py:121-124 uses spacy — documented deviation)."""
+    from tlie_tpu.data.imdb import basic_english_tokenize
+
+    assert basic_english_tokenize("You can now install TorchText using pip!") == [
+        "you", "can", "now", "install", "torchtext", "using", "pip", "!",
+    ]
+    assert basic_english_tokenize("It's great, isn't it? (Yes.)") == [
+        "it", "'", "s", "great", ",", "isn", "'", "t", "it", "?",
+        "(", "yes", ".", ")",
+    ]
+    assert basic_english_tokenize('A "quoted" word<br />next; line: ok') == [
+        "a", "quoted", "word", "next", "line", "ok",
+    ]
+
+
+def test_imdb_build_vocab_torchtext_ordering():
+    """Specials first, then frequency-descending with lexicographic
+    tie-break, min_freq filtered — build_vocab_from_iterator semantics."""
+    from tlie_tpu.data.imdb import build_vocab
+
+    lists = [["b", "a", "b", "c", "a", "b"], ["c", "d"]]
+    v = build_vocab(lists, min_freq=2, specials=["<pad>", "<unk>"])
+    # b:3, a:2, c:2 (ties a/c → lexicographic), d:1 dropped
+    assert v == {"<pad>": 0, "<unk>": 1, "b": 2, "a": 3, "c": 4}
+
+
+def test_imdb_synthetic_word_pipeline():
+    ds = IMDB(synthetic=True, synthetic_train=64, synthetic_test=16,
+              l_max=256, min_freq=2, level="word")
+    ds.setup()
+    assert ds.train_inputs.shape == (64, 256)
+    assert ds.vocab_size > 4  # specials + real words survived min_freq
+    # every non-pad id decodes inside the vocab
+    assert ds.train_inputs.max() < ds.vocab_size
+    i = 0
+    L = int(ds.train_lengths[i])
+    assert ds.train_inputs[i, L - 1] == ds.vocab["<eos>"]
+    assert (ds.train_inputs[i, L:] == ds.pad_id).all()
+
+
 # ------------------------------------------------------------- AAN / PathFinder
 
 

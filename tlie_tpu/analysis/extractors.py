@@ -16,8 +16,10 @@ TPU-first redesign relative to the reference:
     matmul, bit-identical math.
   * Complex eigenvalues are returned as (re, im) pairs of real arrays
     (no complex dtype on TPU).
-  * S4's dense Ā eigendecomposition runs through ``ops.eig`` (host-callback
-    numpy by default, mirroring ref :296, with an on-device path planned).
+  * S4's dense Ā eigendecomposition runs through ``ops.eig`` (host numpy
+    by default for bit parity, mirroring ref :296; the on-device
+    Hessenberg+shifted-QR solver in ``ops/eig_device.py`` is selected with
+    the analysis config's ``eig_impl: device``).
 
 Score matmuls explicitly request fp32 (HIGHEST) precision: spectra must
 match the reference within 1e-5 and the default bf16 MXU mode would not.

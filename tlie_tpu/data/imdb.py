@@ -1,8 +1,20 @@
-"""IMDB sentiment classification, char-level (LRA text task).
+"""IMDB sentiment classification, char- and word-level (LRA text task).
 
 Pipeline parity with the reference (ref dataloaders/lra.py:28-190):
-char-level tokenization with a min-frequency vocab built on train, <eos>
-appended, padded to l_max, binary labels; metric = accuracy.
+char- or word-level tokenization with a min-frequency vocab built on train,
+<eos> appended, padded to l_max, binary labels; metric = accuracy.
+
+Word level: the reference tokenizes through spacy ``en_core_web_sm``
+(ref lra.py:122-124), which needs a downloaded model and is unavailable
+offline.  This implementation uses torchtext's ``basic_english`` pipeline —
+the standard torchtext word tokenizer (lowercase + a fixed regex
+rule list + whitespace split) — transcribed below, with vocab construction
+matching ``torchtext.vocab.build_vocab_from_iterator`` ordering exactly
+(specials first, then tokens sorted by frequency descending with
+lexicographic tie-break, ``min_freq`` filtered).  Documented deviation:
+token boundaries differ from spacy's on contractions/punctuation edge
+cases; the task semantics (word-level sentiment over a min-freq vocab) are
+the same.
 
 Offline sources, tried in order:
   1. HF ``imdb`` dataset locally cached under data_dir;
@@ -15,6 +27,7 @@ Offline sources, tried in order:
 
 from __future__ import annotations
 
+import re
 from collections import Counter
 from pathlib import Path
 from typing import List, Optional, Tuple
@@ -22,6 +35,47 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 from .base import SequenceDataset, argmax_accuracy
+
+# torchtext ``basic_english`` normalisation rules (pattern → replacement),
+# applied in order after lowercasing; tokens are the whitespace splits.
+_BASIC_ENGLISH_RULES = [
+    (re.compile(p), r)
+    for p, r in (
+        (r"\'", " '  "),
+        (r"\"", ""),
+        (r"\.", " . "),
+        (r"<br \/>", " "),
+        (r",", " , "),
+        (r"\(", " ( "),
+        (r"\)", " ) "),
+        (r"\!", " ! "),
+        (r"\?", " ? "),
+        (r"\;", " "),
+        (r"\:", " "),
+        (r"\s+", " "),
+    )
+]
+
+
+def basic_english_tokenize(text: str) -> List[str]:
+    """torchtext ``get_tokenizer("basic_english")`` equivalent."""
+    text = text.lower()
+    for pattern, repl in _BASIC_ENGLISH_RULES:
+        text = pattern.sub(repl, text)
+    return text.split()
+
+
+def build_vocab(token_lists, min_freq: int, specials: List[str]) -> dict:
+    """``torchtext.vocab.build_vocab_from_iterator`` ordering: specials
+    first (special_first=True), then tokens with count ≥ min_freq by
+    frequency descending, lexicographic tie-break."""
+    counter: Counter = Counter()
+    for toks in token_lists:
+        counter.update(toks)
+    items = sorted(counter.items())  # lexicographic
+    items.sort(key=lambda kv: kv[1], reverse=True)  # stable: freq desc
+    kept = [t for t, c in items if c >= min_freq]
+    return {t: i for i, t in enumerate(specials + kept)}
 
 
 def _load_hf_imdb(data_dir) -> Optional[Tuple[List[str], np.ndarray, List[str], np.ndarray]]:
@@ -111,26 +165,20 @@ class IMDB(SequenceDataset):
         else:
             tr_t, tr_y, te_t, te_y = data
 
-        if self.level != "char":
-            raise NotImplementedError(
-                "word-level IMDB needs a spacy tokenizer (unavailable offline); "
-                "use level: char"
-            )
+        if self.level not in ("char", "word"):
+            raise ValueError(f"level {self.level} not supported")
+        tokenizer = list if self.level == "char" else basic_english_tokenize
 
         budget = self.l_max - int(self.append_bos) - int(self.append_eos)
-        tr_tokens = [list(t)[:budget] for t in tr_t]
-        te_tokens = [list(t)[:budget] for t in te_t]
+        tr_tokens = [tokenizer(t)[:budget] for t in tr_t]
+        te_tokens = [tokenizer(t)[:budget] for t in te_t]
 
-        counter: Counter = Counter()
-        for toks in tr_tokens:
-            counter.update(toks)
         specials = ["<pad>", "<unk>"]
         if self.append_bos:
             specials.append("<bos>")
         if self.append_eos:
             specials.append("<eos>")
-        kept = [t for t, c in counter.most_common() if c >= self.min_freq]
-        self.vocab = {t: i for i, t in enumerate(specials + kept)}
+        self.vocab = build_vocab(tr_tokens, self.min_freq, specials)
         self.vocab_size = len(self.vocab)
         self.pad_id = self.vocab["<pad>"]
         unk = self.vocab["<unk>"]
