@@ -121,16 +121,69 @@ def _bench_train(model_cfg, ds, data, n_steps=200, ds_cfg=None, batch_size=64):
     nprng = np.random.default_rng(0)
     idx = batch_indices(nprng, len(ds.train_inputs), batch_size, n_steps)
     # warm up (compile); float() forces a synchronous host read —
-    # block_until_ready does not reliably synchronise through the axon tunnel
-    _, loss = train_block(state, rng, data, idx[:1], 0, 0.01, 0.01)
+    # block_until_ready does not reliably synchronise through the axon tunnel.
+    # The block donates its input state, so every call rebinds it.
+    state, loss = train_block(state, rng, data, idx[:1], 0, 0.01, 0.01)
     float(loss)
-    _, loss = train_block(state, rng, data, idx, 0, 0.01, 0.01)
+    state, loss = train_block(state, rng, data, idx, 0, 0.01, 0.01)
     float(loss)
 
     t0 = time.perf_counter()
-    _, loss = train_block(state, rng, data, idx, 0, 0.01, 0.01)
+    state, loss = train_block(state, rng, data, idx, 0, 0.01, 0.01)
     float(loss)
     return n_steps / (time.perf_counter() - t0)
+
+
+def _bench_sweep_grid(ds, data, n_steps=100):
+    """BASELINE.md sweep north star, driver-capturable (VERDICT r2 item 4):
+    vmapped seed-grid point-steps/s on ONE chip for the mqar-lin-attention
+    workload, plus the arithmetic projection of the full 16-point × 8k-step
+    seed×LR sweep (configs/sweep/mqar-lin-attention-seeds-lrs-8k.yaml — the
+    grid RESULTS.md measured in waves) onto v5e-8, against the <10 min
+    BASELINE target."""
+    import jax
+    import jax.numpy as jnp
+
+    from tlie_tpu.config import ExperimentConfig
+    from tlie_tpu.models.registry import build_models
+    from tlie_tpu.parallel.sweep import _stacked_state
+    from tlie_tpu.training.scan_loop import batch_indices, make_train_block
+
+    seeds = [1919, 2222, 2929, 1717]
+    raw = {"seed": 1919, "save": None, "dataset": dict(_MQAR_DATASET),
+           "train": {**_TRAIN, "batch_size": 64}, "model": dict(_LIN_ATT_MODEL)}
+    cfg = ExperimentConfig(raw).validate()
+    cfg.derive_runtime_fields(ds)
+    train_model, _, _ = build_models(cfg.model, False)
+    state = _stacked_state(cfg, train_model, seeds, integer_inputs=True)
+    block = make_train_block(
+        train_model, "layer", ("regular",), warmup=0,
+        total_steps=8_000, cosine=True, lr_min=1e-6,
+    )
+    vblock = jax.jit(jax.vmap(
+        lambda st, rng, d, idx, s0, lr, slr: block(st, rng, d, idx, s0, lr, slr),
+        in_axes=(0, 0, None, None, None, 0, 0),
+    ))
+    g = len(seeds)
+    rngs = jax.vmap(jax.random.PRNGKey)(jnp.arange(g, dtype=jnp.uint32))
+    lrs = jnp.full((g,), 0.001, jnp.float32)
+    nprng = np.random.default_rng(0)
+    idx = jnp.asarray(batch_indices(nprng, len(ds.train_inputs), 64, n_steps))
+    s0 = jnp.asarray(0, jnp.int32)
+
+    state, loss = vblock(state, rngs, data, idx[:1], s0, lrs, lrs)  # compile
+    float(loss[0])
+    state, loss = vblock(state, rngs, data, idx, s0, lrs, lrs)      # warm
+    float(loss[0])
+    t0 = time.perf_counter()
+    state, loss = vblock(state, rngs, data, idx, s0, lrs, lrs)
+    float(loss[0])
+    rate = g * n_steps / (time.perf_counter() - t0)  # point-steps/s/chip
+
+    # the full sweep = 16 points × 8k steps; on v5e-8 the grid axis shards
+    # over 8 chips (parallel/mesh.py), so wall-clock ≈ total/(8 × rate)
+    projected_min = 16 * 8_000 / (8.0 * rate) / 60.0
+    return rate, projected_min
 
 
 def _bench_analysis(ds):
@@ -178,6 +231,7 @@ def main():
 
     sps_lin = _bench_train(_LIN_ATT_MODEL, ds, data)
     sps_ssd = _bench_train(_MAMBA2_MODEL, ds, data)
+    sweep_rate, sweep_proj_min = _bench_sweep_grid(ds, data)
     t_eig, t_eig_warm = _bench_analysis(ds)
 
     wt = SequenceDataset.registry["wikitext"](**_WT_DATASET)
@@ -199,6 +253,8 @@ def main():
         "vs_baseline": round(sps_lin / REFERENCE_STEPS_PER_SEC, 3),
         "extra": {
             "mqar_mamba2_train_steps_per_sec_per_chip": round(sps_ssd, 3),
+            "mqar_lin_attention_sweep_point_steps_per_sec_per_chip": round(sweep_rate, 3),
+            "mqar_lin_attention_16pt_8k_sweep_projected_v5e8_minutes": round(sweep_proj_min, 2),
             "eval_eig_sec_per_checkpoint": round(t_eig, 3),
             "eval_eig_sec_per_checkpoint_warm": round(t_eig_warm, 3),
             "wikitext_mamba2_train_steps_per_sec_per_chip": round(sps_wt, 3),

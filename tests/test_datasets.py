@@ -118,6 +118,28 @@ def test_cifar_synthetic_pipeline():
     assert ds_tok.train_inputs.max() <= 255
 
 
+def test_cifar_synthetic_is_class_conditional():
+    """The offline stand-in must be LEARNABLE (VERDICT r2 item 7): a
+    nearest-class-mean classifier fit on train must beat chance by a wide
+    margin on test — with the old random-label images this sat at 10%."""
+    ds = CIFAR10(grayscale=True, synthetic=True,
+                 synthetic_train=512, synthetic_test=128)
+    ds.setup()
+    X = ds.train_inputs[..., 0]
+    means = np.stack([X[ds.train_labels == c].mean(axis=0) for c in range(10)])
+    Xt = ds.test_inputs[..., 0]
+    pred = np.argmin(
+        ((Xt[:, None, :] - means[None]) ** 2).sum(-1), axis=1
+    )
+    acc = (pred == ds.test_labels).mean()
+    assert acc > 0.9, acc
+    # separability survives the hilbert permutation (it is a bijection)
+    ds_p = CIFAR10(grayscale=True, permute="hilbert", synthetic=True,
+                   synthetic_train=256, synthetic_test=64)
+    ds_p.setup()
+    assert ds_p.train_inputs.shape == (256, 1024, 1)
+
+
 # ------------------------------------------------------------- WikiText
 
 

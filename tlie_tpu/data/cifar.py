@@ -49,11 +49,38 @@ def _load_torchvision_cifar(data_dir: str) -> Optional[Tuple]:
         return None
 
 
-def _synthetic_images(n: int, seed: int, size: int = 32) -> Tuple[np.ndarray, np.ndarray]:
+def _class_templates(size: int, channels: int, num_classes: int = 10) -> np.ndarray:
+    """Deterministic per-class cosine-grating templates in [0, 1].
+
+    Class c gets a distinct (fx, fy) spatial frequency pair, so classes are
+    separable from the flattened pixel sequence (and stay separable under
+    the br/snake/hilbert permutations, which are bijections).  Shared by
+    construction across train/test splits."""
+    yy, xx = np.meshgrid(np.arange(size), np.arange(size), indexing="ij")
+    out = np.zeros((num_classes, size, size, channels), dtype=np.float32)
+    for c in range(num_classes):
+        fx, fy = 1 + c % 5, 1 + 2 * (c // 5)
+        for ch in range(channels):
+            phase = 2.0 * np.pi * (c + ch) / num_classes
+            out[c, ..., ch] = 0.5 + 0.5 * np.cos(
+                2.0 * np.pi * (fx * xx + fy * yy) / size + phase
+            )
+    return out
+
+
+def _synthetic_images(
+    n: int, seed: int, size: int = 32, channels: int = 3
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Class-conditional synthetic images: a class grating template blended
+    with per-sample noise.  Learnable above chance by construction — the
+    original uniform-noise stand-in had random labels, so 50-epoch runs
+    measured chance accuracy and spectra of models that learned nothing."""
     rng = np.random.default_rng(seed)
-    x = rng.random((n, size, size, 3), dtype=np.float32)
-    y = rng.integers(0, 10, size=n)
-    return x, y.astype(np.int64)
+    y = rng.integers(0, 10, size=n).astype(np.int64)
+    noise = rng.random((n, size, size, channels), dtype=np.float32)
+    templates = _class_templates(size, channels)
+    x = np.clip(0.55 * templates[y] + 0.45 * noise, 0.0, 1.0).astype(np.float32)
+    return x, y
 
 
 class CIFAR10(SequenceDataset):
@@ -194,13 +221,11 @@ class MNIST(SequenceDataset):
             except Exception:
                 data = None
         if data is None:
-            rng = np.random.default_rng(self.seed)
-            data = (
-                rng.random((self.synthetic_train, 28, 28), dtype=np.float32),
-                rng.integers(0, 10, self.synthetic_train).astype(np.int64),
-                rng.random((self.synthetic_test, 28, 28), dtype=np.float32),
-                rng.integers(0, 10, self.synthetic_test).astype(np.int64),
-            )
+            tr_x, tr_y = _synthetic_images(self.synthetic_train, self.seed,
+                                           size=28, channels=1)
+            te_x, te_y = _synthetic_images(self.synthetic_test, self.seed + 1,
+                                           size=28, channels=1)
+            data = (tr_x[..., 0], tr_y, te_x[..., 0], te_y)
         tr_x, tr_y, te_x, te_y = data
 
         def seq(x):

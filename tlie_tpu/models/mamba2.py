@@ -26,6 +26,15 @@ from .layers import (GLU, MATCH, DepthwiseCausalConv, TokenEmbeddings,
                      torch_linear_init)
 
 
+def _pick_chunk(chunk_size: Optional[int], L: int) -> int:
+    if chunk_size is not None:
+        return chunk_size
+    for c in (512, 256):
+        if L % c == 0:
+            return c
+    return 256
+
+
 def _dt_bias_init(rng, nheads, dt_min, dt_max, dt_init_floor=1e-4):
     """Inverse-softplus of a log-uniform dt sample (ref models/mamba.py:71-78)."""
     u = jax.random.uniform(rng, (nheads,))
@@ -47,7 +56,10 @@ class SSD(nn.Module):
     dt_min: float = 0.001
     dt_max: float = 0.1
     dt_init_floor: float = 1e-4
-    chunk_size: int = 256
+    # None → largest of (512, 256) dividing L: the chip profile at LM shapes
+    # (tools/profile_ssd.py, RESULTS.md round 2) shows chunk 512 monotonically
+    # faster than the reference kernel's fixed 256 when L allows it
+    chunk_size: Optional[int] = None
     bias: bool = False
     deterministic: bool = True
     dtype: Optional[Any] = None
@@ -113,7 +125,7 @@ class SSD(nn.Module):
             -jnp.exp(A_log),
             B_mat.reshape(bsz, L, g, n),
             C_mat.reshape(bsz, L, g, n),
-            chunk_size=self.chunk_size,
+            chunk_size=_pick_chunk(self.chunk_size, L),
             D=D,
         )
         y = y.reshape(bsz, L, d_inner)
@@ -136,7 +148,7 @@ class SSD_LTI(nn.Module):
     dt_min: float = 0.001
     dt_max: float = 0.1
     dt_init_floor: float = 1e-4
-    chunk_size: int = 256
+    chunk_size: Optional[int] = None
     bias: bool = False
     deterministic: bool = True
     dtype: Optional[Any] = None
@@ -204,7 +216,7 @@ class SSD_LTI(nn.Module):
             -jax.nn.softplus(A),
             B_mat.reshape(bsz, L, g, n),
             C_mat.reshape(bsz, L, g, n),
-            chunk_size=self.chunk_size,
+            chunk_size=_pick_chunk(self.chunk_size, L),
             D=D,
         )
         y = y.reshape(bsz, L, d_inner)
@@ -229,6 +241,7 @@ class MambaBlock(nn.Module):
     norm: str
     prenorm: bool
     pseudoLTI: bool
+    chunk_size: Optional[int] = None
     deterministic: bool = True
     dtype: Optional[Any] = None
 
@@ -242,6 +255,7 @@ class MambaBlock(nn.Module):
             d_conv=self.conv_dim,
             expand=self.expansion,
             headdim=self.headdim,
+            chunk_size=self.chunk_size,
             deterministic=self.deterministic,
             dtype=self.dtype,
         )
@@ -306,6 +320,7 @@ class Mamba(nn.Module):
                 norm=cfg["norm"],
                 prenorm=cfg["prenorm"],
                 pseudoLTI=cfg.get("pseudoLTI", False),
+                chunk_size=cfg.get("chunk_size"),
                 deterministic=self.deterministic,
                 dtype=dtype,
             )

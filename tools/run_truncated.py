@@ -50,7 +50,8 @@ def main():
     bsz = cfg.train["batch_size"]
     tl = ds.train_dataloader(batch_size=bsz, shuffle=True)
     el = ds.test_dataloader(batch_size=bsz, shuffle=False)
-    path, perf = train(cfg, tl, el, ds.get_metrics(layer=cfg.layer), None)
+    result = train(cfg, tl, el, ds.get_metrics(layer=cfg.layer), None)
+    path, perf = result
     print(f"[truncated] ckpt {path} perf {perf:.4f}", flush=True)
 
     if args.analysis_batch and path:
@@ -58,7 +59,8 @@ def main():
 
         loader = ds.test_dataloader(batch_size=args.analysis_batch, shuffle=False)
         conf_args = {"batch_size": args.analysis_batch, "save_path": args.save_path}
-        eval_eig(cfg.raw, conf_args, None, cfg.dataset, loader, path, perf)
+        eval_eig(cfg.raw, conf_args, None, cfg.dataset, loader, path, perf,
+                 params=result.state.params)
 
 
 if __name__ == "__main__":
