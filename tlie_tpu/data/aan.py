@@ -22,19 +22,49 @@ import numpy as np
 from .base import SequenceDataset, argmax_accuracy
 
 
-def _synthetic_pairs(n: int, seed: int) -> Tuple[List[str], List[str], np.ndarray]:
+def _synthetic_pairs(
+    n: int, seed: int, l_max: int = 4096
+) -> Tuple[List[str], List[str], np.ndarray]:
+    """Topic-matched pair corpus: each document samples its words from a
+    per-document *topic* (a small random subset of the vocabulary); matched
+    pairs share the topic, unmatched pairs draw two independent topics.
+
+    This keeps the label genuinely relational (no single document reveals
+    it) while being detectable through the model's narrow per-document
+    encoding — the reference wiring bottlenecks each document to an
+    ``output_dim``-dim vector before the MATCH head (ref
+    models/transformer.py:141-142,156-158), so a shared-substring construct
+    (the earlier stand-in) mean-pools to statistically identical encodings
+    and pins training at chance; shared word *distributions* do not."""
     rng = np.random.default_rng(seed)
     vocab_words = [f"w{i}" for i in range(50)]
+    topic_size, num_topics = 5, 10
+    n_words_max = max(8, l_max // 4)  # ~4 chars per word incl. separator
+    # a FIXED inventory of DISJOINT topics (constant generator → identical
+    # across the train/test splits): the per-document encoding is
+    # bottlenecked to output_dim dims before the MATCH head (the reference's
+    # dual wiring, models/transformer.py:141-142,156-158), which can cluster
+    # a small inventory of maximally-contrasting topics but not ~C(50,8)
+    # fresh overlapping subsets
+    topic_rng = np.random.default_rng(1234)
+    _perm = topic_rng.permutation(50)
+    topics = [_perm[i * topic_size : (i + 1) * topic_size]
+              for i in range(num_topics)]
+
+    def doc(topic: np.ndarray, n_words: int) -> str:
+        return " ".join(vocab_words[i] for i in rng.choice(topic, size=n_words))
+
     t1, t2, ys = [], [], []
     for _ in range(n):
         y = int(rng.integers(0, 2))
-        base = [vocab_words[rng.integers(0, 50)] for _ in range(rng.integers(30, 120))]
-        other = [vocab_words[rng.integers(0, 50)] for _ in range(rng.integers(30, 120))]
-        if y:  # matched pairs share a chunk of content
-            k = len(base) // 2
-            other = base[:k] + other[k:] if len(other) > k else base[:k]
-        t1.append(" ".join(base))
-        t2.append(" ".join(other))
+        i1 = int(rng.integers(0, num_topics))
+        i2 = i1 if y else int((i1 + 1 + rng.integers(0, num_topics - 1)) % num_topics)
+        # documents fill most of l_max (~4 chars/word): the model mean-pools
+        # over ALL positions including padding (the reference's torch path
+        # ignores lengths, ref train.py:96-97) — half-empty documents would
+        # dilute the topic signal under the unmasked pool
+        t1.append(doc(topics[i1], int(rng.integers(int(0.8 * n_words_max), n_words_max))))
+        t2.append(doc(topics[i2], int(rng.integers(int(0.8 * n_words_max), n_words_max))))
         ys.append(y)
     return t1, t2, np.asarray(ys, dtype=np.int64)
 
@@ -82,8 +112,8 @@ class AAN(SequenceDataset):
                     f"AAN | no lra_release TSVs under {self.data_dir!r}; using a "
                     "synthetic pair corpus (set dataset.synthetic: true to silence)"
                 )
-            tr1, tr2, tr_y = _synthetic_pairs(self.synthetic_train, self.seed)
-            te1, te2, te_y = _synthetic_pairs(self.synthetic_test, self.seed + 1)
+            tr1, tr2, tr_y = _synthetic_pairs(self.synthetic_train, self.seed, self.l_max)
+            te1, te2, te_y = _synthetic_pairs(self.synthetic_test, self.seed + 1, self.l_max)
 
         budget = self.l_max - int(self.append_bos) - int(self.append_eos)
         counter: Counter = Counter()

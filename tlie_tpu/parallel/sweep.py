@@ -241,11 +241,14 @@ def _run_group(
     # data/test are explicit broadcast arguments (in_axes=None): closing over
     # them would bake the whole dataset into the serialized program as
     # constants (hundreds of MB through the remote-compile channel)
+    # the stacked grid state is donated: per-point params + moments update in
+    # place (the grid axis multiplies the state footprint by points/device)
     vblock = jax.jit(
         jax.vmap(
             lambda st, rng, d, idx, step0, lr, slr: block(st, rng, d, idx, step0, lr, slr),
             in_axes=(0, 0, None, None, None, 0, 0),
-        )
+        ),
+        donate_argnums=(0,),
     )
     veval = jax.jit(
         jax.vmap(lambda st, t, ei: evaluator(st, t, ei), in_axes=(0, None, None))
