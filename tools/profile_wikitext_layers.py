@@ -59,12 +59,24 @@ def main():
     # [dtype] — dtype ∈ {bf16, f32}
     nl = int(sys.argv[2]) if len(sys.argv) > 2 else 6
     dt = sys.argv[3] if len(sys.argv) > 3 else "bf16"
+    vocab = int(sys.argv[4]) if len(sys.argv) > 4 else None
     cfg = dict(_WT_MAMBA2_MODEL, num_layers=nl)
     if dt == "bf16":
         cfg["compute_dtype"] = "bfloat16"
+    tag = f"{dt}_L{nl}"
+    if vocab:
+        # vocab ablation: clip the token stream and shrink embedding + head
+        # to isolate the vocab-path cost (embedding scatter, decoder, CE)
+        cfg.update(vocab_size=vocab, output_dim=vocab)
+        data = put_dataset(np.minimum(wt.train_inputs, vocab - 1),
+                           np.where(wt.train_labels >= 0,
+                                    np.minimum(wt.train_labels, vocab - 1),
+                                    wt.train_labels))
+        wt.train_inputs = np.minimum(wt.train_inputs, vocab - 1)
+        tag += f"_V{vocab}"
     ms = round(measure(cfg, wt, data), 2)
     print(json.dumps({"metric": "wikitext_block_layer_ablation",
-                      "variant": f"{dt}_L{nl}", "ms_per_step": ms,
+                      "variant": tag, "ms_per_step": ms,
                       "steps_per_sec": round(1e3 / ms, 2)}))
 
 
