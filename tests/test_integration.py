@@ -311,6 +311,19 @@ def test_aan_dual_retrieval_end_to_end(tmp_path):
     path, perf = train(cfg, tl, el, ds.get_metrics(), None)
     assert path is not None and 0.0 <= perf <= 1.0
 
+    # analysis on the dual model: the collector folds the (B, 2, L) pair
+    # axis into the batch, so spectra carry 2B per-document rows
+    from tlie_tpu.analysis import eval_eig
+
+    conf_args = {"batch_size": 16, "save_path": str(tmp_path / "analysis") + "/"}
+    loader = ds.test_dataloader(batch_size=16, shuffle=False)
+    eig, eig_init, pct, *_ = eval_eig(
+        cfg.raw, conf_args, None, cfg.dataset, loader, path, perf
+    )
+    assert eig.shape[0] == 32  # 16 pairs → 32 documents
+    assert eig.shape[2:] == (1, 1)  # heads × layers
+    assert np.isfinite(eig).all() and np.isfinite(pct).all()
+
 
 @pytest.mark.slow
 def test_pathfinder_s4_end_to_end(tmp_path):

@@ -113,6 +113,16 @@ def _make_collector(model, family: str, model_config=None):
 
     def build():
         def collect(mdl, inp):
+            if (
+                getattr(mdl, "dual", False)
+                and inp.ndim == 3
+                and jnp.issubdtype(inp.dtype, jnp.integer)
+            ):
+                # retrieval pairs arrive as (B, 2, L): fold the pair axis
+                # into the batch exactly as the training forward does
+                # (models/transformer.py::features) — spectra then carry 2B
+                # per-document rows, which the batch-binned statistics want
+                inp = jnp.concatenate([inp[:, 0], inp[:, 1]], axis=0)
             h = mdl.encoder(inp)
             outs = []
             blocks = mdl.layers if family == "transformer" else mdl.blocks
