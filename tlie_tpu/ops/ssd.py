@@ -90,9 +90,19 @@ def ssd_chunked_scan(
     initial_states: Optional[jax.Array] = None,
     return_final_state: bool = False,
 ):
-    """Parallel chunked SSD scan. See module docstring for semantics."""
+    """Parallel chunked SSD scan. See module docstring for semantics.
+
+    B/C stay at **group** granularity end-to-end: the score matmul
+    CᵀB is head-independent within a group, so computing it once per
+    group and broadcasting over the H/G heads cuts its FLOPs (and the
+    HBM for the repeated (B, L, H, N) operands) by H/G — 8× at the
+    reference's ngroups=1 LM shapes (ref models/mamba.py:138-150 passes
+    ngroups=1 B/C straight to the Triton kernel, which re-reads the
+    shared tiles per head instead).
+    """
     B, L, H, P = x.shape
-    N = B_mat.shape[-1]
+    G, N = B_mat.shape[2], B_mat.shape[-1]
+    Hg = H // G  # heads per group; head h = g*Hg + hg (repeat layout)
     Q = chunk_size
     if L % Q != 0:
         Q = _pick_chunk(L, Q)
@@ -105,46 +115,48 @@ def ssd_chunked_scan(
     # f32 internally
     compute_dtype = jnp.promote_types(x.dtype, jnp.float32)
     mm_dtype = x.dtype if x.dtype == jnp.bfloat16 else compute_dtype
-    Bh = _expand_groups(B_mat, H).astype(mm_dtype)
-    Ch = _expand_groups(C_mat, H).astype(mm_dtype)
     xf = x.astype(mm_dtype)
     dtf = dt.astype(compute_dtype)
 
-    xc = xf.reshape(B, C, Q, H, P)
-    dtc = dtf.reshape(B, C, Q, H)
-    Bc = Bh.reshape(B, C, Q, H, N)
-    Cc = Ch.reshape(B, C, Q, H, N)
+    xc = xf.reshape(B, C, Q, G, Hg, P)
+    dtc = dtf.reshape(B, C, Q, G, Hg)
+    Bc = B_mat.astype(mm_dtype).reshape(B, C, Q, G, N)
+    Cc = C_mat.astype(mm_dtype).reshape(B, C, Q, G, N)
 
-    dA = dtc * A  # (B, C, Q, H), f32
+    dA = dtc * A.reshape(G, Hg)  # (B, C, Q, G, Hg), f32
     cs = jnp.cumsum(dA, axis=2)  # inclusive within-chunk cumsum
 
+    # dt rides the value side: y_diag(i) = Σ_j CᵀB(i,j)·decay(i,j)·dt_j·x_j,
+    # so folding dt_j into x once (O(L·H·P)) replaces the per-pair
+    # dt broadcast multiply (O(L·Q·H)) the head-expanded version paid
+    xdt = xc * dtc.astype(mm_dtype)[..., None]  # (B, C, Q, G, Hg, P)
+
     # --- intra-chunk (diagonal blocks): masked decay attention -------------
-    # decay from step j to step i (i >= j): exp(cs_i - cs_j)
-    seg = cs[:, :, :, None, :] - cs[:, :, None, :, :]  # (B,C,Q_i,Q_j,H)
-    causal = jnp.tril(jnp.ones((Q, Q), dtype=bool))[None, None, :, :, None]
+    # decay from step j to step i (i >= j): exp(cs_i - cs_j); per-head
+    seg = cs[:, :, :, None] - cs[:, :, None, :]  # (B,C,Q_i,Q_j,G,Hg)
+    causal = jnp.tril(jnp.ones((Q, Q), dtype=bool))[None, None, :, :, None, None]
     decay = jnp.exp(jnp.where(causal, seg, -jnp.inf)).astype(mm_dtype)
-    scores = (
-        jnp.einsum("bcihn,bcjhn->bcijh", Cc, Bc)
-        * decay
-        * dtc[:, :, None, :, :].astype(mm_dtype)
-    )
-    y_diag = jnp.einsum("bcijh,bcjhp->bcihp", scores, xc)
+    CB = jnp.einsum("bcign,bcjgn->bcijg", Cc, Bc)  # group-level scores
+    scores = CB[..., None] * decay  # broadcast over the Hg head axis
+    y_diag = jnp.einsum("bcijgh,bcjghp->bcighp", scores, xdt)
 
     # --- chunk summaries: state contributed by each chunk at its end ------
-    decay_to_end = jnp.exp(cs[:, :, -1:, :] - cs)  # (B, C, Q, H)
-    wk = Bc * (decay_to_end * dtc).astype(mm_dtype)[..., None]  # (B, C, Q, H, N)
-    S = jnp.einsum("bcjhn,bcjhp->bchnp", wk, xc)  # (B, C, H, N, P)
+    decay_to_end = jnp.exp(cs[:, :, -1:] - cs)  # (B, C, Q, G, Hg)
+    xw = xdt * decay_to_end.astype(mm_dtype)[..., None]
+    S = jnp.einsum("bcjgn,bcjghp->bcghnp", Bc, xw)  # (B, C, G, Hg, N, P)
     S = S.astype(compute_dtype)  # carried state stays f32 across chunks
 
     # --- inter-chunk recurrence over the C chunk summaries ----------------
-    chunk_decay = jnp.exp(cs[:, :, -1, :])  # (B, C, H)
+    chunk_decay = jnp.exp(cs[:, :, -1])  # (B, C, G, Hg)
     if initial_states is None:
-        h0 = jnp.zeros((B, H, N, P), dtype=compute_dtype)
+        h0 = jnp.zeros((B, G, Hg, N, P), dtype=compute_dtype)
     else:
+        # reference layout (B, H, P, N) → internal (B, G, Hg, N, P)
         h0 = jnp.swapaxes(initial_states, -1, -2).astype(compute_dtype)
+        h0 = h0.reshape(B, G, Hg, N, P)
 
     def chunk_step(h, inp):
-        S_c, g_c = inp  # (B,H,N,P), (B,H)
+        S_c, g_c = inp  # (B,G,Hg,N,P), (B,G,Hg)
         h_prev = h
         h = g_c[..., None, None] * h + S_c
         return h, h_prev
@@ -152,18 +164,21 @@ def ssd_chunked_scan(
     S_seq = jnp.moveaxis(S, 1, 0)
     g_seq = jnp.moveaxis(chunk_decay, 1, 0)
     h_final, h_prev_seq = lax.scan(chunk_step, h0, (S_seq, g_seq))
-    R_prev = jnp.moveaxis(h_prev_seq, 0, 1)  # (B, C, H, N, P): state before chunk
+    R_prev = jnp.moveaxis(h_prev_seq, 0, 1)  # (B, C, G, Hg, N, P)
 
     # --- inter-chunk output: queries against carried-in state -------------
-    wq = Cc * jnp.exp(cs).astype(mm_dtype)[..., None]  # (B, C, Q, H, N)
-    y_off = jnp.einsum("bcihn,bchnp->bcihp", wq, R_prev.astype(mm_dtype))
+    # y_off(i) = exp(cs_i) · CᵀR: queries stay group-level in the matmul,
+    # the per-head decay-in scale lands on the (…, P) output instead of a
+    # head-repeated (…, N) query tensor
+    y0 = jnp.einsum("bcign,bcghnp->bcighp", Cc, R_prev.astype(mm_dtype))
+    y_off = y0 * jnp.exp(cs).astype(mm_dtype)[..., None]
 
     y = (y_diag + y_off).reshape(B, L, H, P)
     if D is not None:
         y = y + D[None, None, :, None] * xf
     y = y.astype(x.dtype)
     if return_final_state:
-        return y, jnp.swapaxes(h_final, -1, -2)
+        return y, jnp.swapaxes(h_final.reshape(B, H, N, P), -1, -2)
     return y
 
 
