@@ -38,16 +38,30 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_TM = 128   # row tile
 _TV = 512   # vocab tile
 IGNORE = -100
+
+# Row tile: as large as the row count allows.  The (D, V) decoder weight is
+# re-streamed once per row tile in the forward AND dh kernels, so the W
+# traffic is (M / TM) · D · V — at GPT-2 LM shapes (M 8192, D 512, V 50257
+# bf16) TM=128 re-reads ~6.6 GB of W per step while TM=1024 reads 0.8 GB.
+# VMEM stays comfortable: the largest per-step residents are the (TM, TV)
+# f32 logits tile (2 MB at 1024×512) and the (TM, D) f32 dh accumulator.
+_TM_CANDIDATES = (1024, 512, 256, 128)
+
+
+def _pick_tm(M: int) -> int:
+    for tm in _TM_CANDIDATES:
+        if M % tm == 0:
+            return tm
+    raise ValueError(f"row count {M} not tileable by 128")
 
 
 def fused_xent_eligible(M: int, D: int, V: int) -> bool:
     # V needs no divisibility: a ragged trailing vocab tile is masked to
     # -1e30 in-kernel, contributing exp(-1e30 - m) = 0 to every statistic
     # and zero gradient
-    return M % _TM == 0 and D <= 1024
+    return M % _TM_CANDIDATES[-1] == 0 and D <= 1024
 
 
 def _num_v_tiles(V: int) -> int:
@@ -107,28 +121,29 @@ def _fwd_kernel(h_ref, w_ref, b_ref, y_ref, loss_ref, lse_ref,
 def _fwd(h, w, b, labels):
     M, D = h.shape
     V = w.shape[1]
-    grid = (M // _TM, _num_v_tiles(V))
+    tm = _pick_tm(M)
+    grid = (M // tm, _num_v_tiles(V))
     loss, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, v_actual=V),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((_TM, D), lambda mi, vj: (mi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, D), lambda mi, vj: (mi, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((D, _TV), lambda mi, vj: (0, vj), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _TV), lambda mi, vj: (0, vj), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TM, 1), lambda mi, vj: (mi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, 1), lambda mi, vj: (mi, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((_TM, 1), lambda mi, vj: (mi, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TM, 1), lambda mi, vj: (mi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, 1), lambda mi, vj: (mi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, 1), lambda mi, vj: (mi, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((M, 1), jnp.float32),
             jax.ShapeDtypeStruct((M, 1), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((_TM, 1), jnp.float32),
-            pltpu.VMEM((_TM, 1), jnp.float32),
-            pltpu.VMEM((_TM, 1), jnp.float32),
+            pltpu.VMEM((tm, 1), jnp.float32),
+            pltpu.VMEM((tm, 1), jnp.float32),
+            pltpu.VMEM((tm, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
@@ -204,6 +219,7 @@ def _bwd(h, w, b, labels, lse, g_rows):
     M, D = h.shape
     V = w.shape[1]
     nv = _num_v_tiles(V)
+    tm = _pick_tm(M)
     y2 = labels.reshape(M, 1).astype(jnp.int32)
     lse2 = lse.reshape(M, 1)
     g2 = g_rows.reshape(M, 1)
@@ -211,16 +227,16 @@ def _bwd(h, w, b, labels, lse, g_rows):
 
     dh = pl.pallas_call(
         functools.partial(_bwd_dh_kernel, v_actual=V),
-        grid=(M // _TM, nv),
+        grid=(M // tm, nv),
         in_specs=[
-            pl.BlockSpec((_TM, D), lambda mi, vj: (mi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, D), lambda mi, vj: (mi, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((D, _TV), lambda mi, vj: (0, vj), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _TV), lambda mi, vj: (0, vj), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TM, 1), lambda mi, vj: (mi, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TM, 1), lambda mi, vj: (mi, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TM, 1), lambda mi, vj: (mi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, 1), lambda mi, vj: (mi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, 1), lambda mi, vj: (mi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, 1), lambda mi, vj: (mi, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((_TM, D), lambda mi, vj: (mi, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((tm, D), lambda mi, vj: (mi, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((M, D), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
@@ -229,14 +245,14 @@ def _bwd(h, w, b, labels, lse, g_rows):
 
     dw, db = pl.pallas_call(
         functools.partial(_bwd_dw_kernel, v_actual=V),
-        grid=(nv, M // _TM),
+        grid=(nv, M // tm),
         in_specs=[
-            pl.BlockSpec((_TM, D), lambda vj, mi: (mi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, D), lambda vj, mi: (mi, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((D, _TV), lambda vj, mi: (0, vj), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _TV), lambda vj, mi: (0, vj), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TM, 1), lambda vj, mi: (mi, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TM, 1), lambda vj, mi: (mi, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TM, 1), lambda vj, mi: (mi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, 1), lambda vj, mi: (mi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, 1), lambda vj, mi: (mi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, 1), lambda vj, mi: (mi, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((D, _TV), lambda vj, mi: (0, vj), memory_space=pltpu.VMEM),

@@ -23,12 +23,16 @@ import numpy as np
 K = int(sys.argv[1]) if len(sys.argv) > 1 else 30
 
 
-def measure(model_cfg, wt, data, B=8):
+def measure(model_cfg, wt, data, B=8, fused=False):
     from bench import _WT_DATASET, _setup
     from tlie_tpu.training.scan_loop import batch_indices, make_train_block
 
     cfg, model, state, rng = _setup(model_cfg, wt, _WT_DATASET, batch_size=B)
-    block = make_train_block(model, "layer", ("regular",), 0, 10_000, True, 1e-6)
+    block = make_train_block(
+        model, "layer", ("regular",), 0, 10_000, True, 1e-6,
+        fused_head=fused,
+        fused_head_dtype="bfloat16" if model_cfg.get("compute_dtype") else None,
+    )
     idx = batch_indices(np.random.default_rng(0), len(wt.train_inputs), B, K)
     state, loss = block(state, rng, data, idx, 0, 1e-3, 1e-3)
     float(loss)
@@ -60,10 +64,14 @@ def main():
     nl = int(sys.argv[2]) if len(sys.argv) > 2 else 6
     dt = sys.argv[3] if len(sys.argv) > 3 else "bf16"
     vocab = int(sys.argv[4]) if len(sys.argv) > 4 else None
+    fused = len(sys.argv) > 5 and sys.argv[5] == "fused"
+    chunk = int(sys.argv[6]) if len(sys.argv) > 6 else None
     cfg = dict(_WT_MAMBA2_MODEL, num_layers=nl)
     if dt == "bf16":
         cfg["compute_dtype"] = "bfloat16"
-    tag = f"{dt}_L{nl}"
+    if chunk:
+        cfg["chunk_size"] = chunk
+    tag = f"{dt}_L{nl}" + ("_fused" if fused else "") + (f"_Q{chunk}" if chunk else "")
     if vocab:
         # vocab ablation: clip the token stream and shrink embedding + head
         # to isolate the vocab-path cost (embedding scatter, decoder, CE)
@@ -74,7 +82,7 @@ def main():
                                     wt.train_labels))
         wt.train_inputs = np.minimum(wt.train_inputs, vocab - 1)
         tag += f"_V{vocab}"
-    ms = round(measure(cfg, wt, data), 2)
+    ms = round(measure(cfg, wt, data, fused=fused), 2)
     print(json.dumps({"metric": "wikitext_block_layer_ablation",
                       "variant": tag, "ms_per_step": ms,
                       "steps_per_sec": round(1e3 / ms, 2)}))
