@@ -26,13 +26,11 @@ from .layers import (GLU, MATCH, DepthwiseCausalConv, TokenEmbeddings,
                      torch_linear_init)
 
 
-def _pick_chunk(chunk_size: Optional[int], L: int) -> int:
-    if chunk_size is not None:
-        return chunk_size
-    for c in (512, 256):
-        if L % c == 0:
-            return c
-    return 256
+def _pick_chunk(chunk_size: Optional[int], L: int) -> Optional[int]:
+    """None defers to the op's shape-aware auto choice (ops/ssd.py
+    ``_auto_chunk`` — it sees B and H, which this layer-level hook does
+    not); an explicit model ``chunk_size`` always wins."""
+    return chunk_size
 
 
 def _dt_bias_init(rng, nheads, dt_min, dt_max, dt_init_floor=1e-4):
