@@ -157,6 +157,16 @@ def ssd_chunked_scan(
     scores = CB[..., None] * decay  # broadcast over the Hg head axis
     y_diag = jnp.einsum("bcijgh,bcjghp->bcighp", scores, xdt)
 
+    if C == 1 and initial_states is None and not return_final_state:
+        # full-sequence chunk, zero entering state: the whole inter-chunk
+        # arm (state summaries, recurrence, y_off) is identically zero —
+        # skip it explicitly rather than trusting XLA to fold a dot
+        # against a scan-produced zero carry
+        y = y_diag.reshape(B, L, H, P)
+        if D is not None:
+            y = y + D[None, None, :, None] * xf
+        return y.astype(x.dtype)
+
     # --- chunk summaries: state contributed by each chunk at its end ------
     decay_to_end = jnp.exp(cs[:, :, -1:] - cs)  # (B, C, Q, G, Hg)
     xw = xdt * decay_to_end.astype(mm_dtype)[..., None]
