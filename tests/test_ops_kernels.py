@@ -65,6 +65,48 @@ def test_ssd_initial_state_and_final_state():
     np.testing.assert_allclose(y2, y2_ref, rtol=1e-4, atol=1e-3)
 
 
+@pytest.mark.parametrize("G,dtype", [(1, jnp.float32), (2, jnp.float32)])
+def test_ssd_pallas_decay_attention_matches_oracle(G, dtype, monkeypatch):
+    """Flash-style fused intra-chunk kernel (ops/pallas_ssd.py, interpret
+    mode on CPU) vs the sequential oracle: forward AND every input
+    gradient vs the XLA chunked path."""
+    monkeypatch.setenv("TLIE_SSD_INTRA", "pallas")
+    key = jax.random.PRNGKey(7)
+    ks = jax.random.split(key, 6)
+    B, L, H, P = 2, 256, 4, 64
+    N = 128
+    x = jax.random.normal(ks[0], (B, L, H, P), dtype)
+    dt = 0.2 * jax.nn.softplus(jax.random.normal(ks[1], (B, L, H)))
+    A = -jnp.exp(jax.random.normal(ks[2], (H,)) - 1.0)
+    Bm = jax.random.normal(ks[3], (B, L, G, N), dtype)
+    Cm = jax.random.normal(ks[4], (B, L, G, N), dtype)
+    D = jax.random.normal(ks[5], (H,))
+
+    from tlie_tpu.ops import pallas_ssd
+
+    assert pallas_ssd.eligible(L, N, P)
+    with jax.default_matmul_precision("highest"):
+        y_ref = ssd_recurrent_scan(x, dt, A, Bm, Cm, D=D)
+        y = ssd_chunked_scan(x, dt, A, Bm, Cm, chunk_size=L, D=D)
+        np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=1e-3)
+        # multi-chunk: the kernel handles the intra-chunk arm per chunk,
+        # the XLA inter-chunk recurrence carries state between chunks
+        y2 = ssd_chunked_scan(x, dt, A, Bm, Cm, chunk_size=L // 2, D=D)
+        np.testing.assert_allclose(y2, y_ref, rtol=1e-4, atol=1e-3)
+
+        def loss(x, dt, Bm, Cm):
+            out = ssd_chunked_scan(x, dt, A, Bm, Cm, chunk_size=L, D=D)
+            return jnp.sum(jnp.sin(out))
+
+        g_pl = jax.grad(loss, argnums=(0, 1, 2, 3))(x, dt, Bm, Cm)
+        monkeypatch.setenv("TLIE_SSD_INTRA", "xla")
+        g_xla = jax.grad(loss, argnums=(0, 1, 2, 3))(x, dt, Bm, Cm)
+    for name, a, b in zip(("dx", "ddt", "dB", "dC"), g_xla, g_pl):
+        np.testing.assert_allclose(
+            b, a, rtol=1e-4, atol=1e-3, err_msg=f"grad {name}"
+        )
+
+
 def test_linear_attention_chunked_matches_recurrent():
     key = jax.random.PRNGKey(2)
     ks = jax.random.split(key, 3)

@@ -28,6 +28,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from . import pallas_ssd
+
 _DEFAULT_CHUNK = 256
 
 
@@ -147,15 +149,33 @@ def ssd_chunked_scan(
 
     # --- intra-chunk (diagonal blocks): masked decay attention -------------
     # decay from step j to step i (i >= j): exp(cs_i - cs_j); per-head.
-    # (Measured on chip: jax.checkpoint'ing this block is ~1 ms/step SLOWER
-    # at LM shapes — the backward re-materialises the same (Q, Q) tensors it
-    # would have read, so remat moves the traffic instead of removing it.)
-    seg = cs[:, :, :, None] - cs[:, :, None, :]  # (B,C,Q_i,Q_j,G,Hg)
-    causal = jnp.tril(jnp.ones((Q, Q), dtype=bool))[None, None, :, :, None, None]
-    decay = jnp.exp(jnp.where(causal, seg, -jnp.inf)).astype(mm_dtype)
-    CB = jnp.einsum("bcign,bcjgn->bcijg", Cc, Bc)  # group-level scores
-    scores = CB[..., None] * decay  # broadcast over the Hg head axis
-    y_diag = jnp.einsum("bcijgh,bcjghp->bcighp", scores, xdt)
+    if pallas_ssd.eligible(Q, N, P):
+        # flash-style fused kernel (ops/pallas_ssd.py): each chunk folds
+        # into the kernel's batch axis, so the (Q, Q, Hg) score tensors are
+        # never materialised in HBM — 134 MB bf16 per layer-step saved at
+        # the WikiText shapes (full-sequence chunk)
+        Cm = Cc.transpose(0, 1, 3, 2, 4).reshape(B * C * G, Q, N)
+        Bm = Bc.transpose(0, 1, 3, 2, 4).reshape(B * C * G, Q, N)
+        cs_t = cs.transpose(0, 1, 3, 4, 2).reshape(B * C * G, Hg, Q)
+        cs_t = cs_t.astype(jnp.float32)
+        xdt_t = xdt.transpose(0, 1, 3, 4, 2, 5).reshape(B * C * G, Hg, Q, P)
+        yk = pallas_ssd.decay_attention(Cm, Bm, cs_t, xdt_t)
+        y_diag = (
+            yk.reshape(B, C, G, Hg, Q, P)
+            .transpose(0, 1, 4, 2, 3, 5)  # → (B, C, Q, G, Hg, P)
+        )
+    else:
+        # XLA path: one fused elementwise producer materialises the scores.
+        # (Measured on chip: jax.checkpoint'ing this block is ~1 ms/step
+        # SLOWER at LM shapes — the backward re-materialises the same (Q, Q)
+        # tensors it would have read, so remat moves the traffic instead of
+        # removing it.)
+        seg = cs[:, :, :, None] - cs[:, :, None, :]  # (B,C,Q_i,Q_j,G,Hg)
+        causal = jnp.tril(jnp.ones((Q, Q), dtype=bool))[None, None, :, :, None, None]
+        decay = jnp.exp(jnp.where(causal, seg, -jnp.inf)).astype(mm_dtype)
+        CB = jnp.einsum("bcign,bcjgn->bcijg", Cc, Bc)  # group-level scores
+        scores = CB[..., None] * decay  # broadcast over the Hg head axis
+        y_diag = jnp.einsum("bcijgh,bcjghp->bcighp", scores, xdt)
 
     if C == 1 and initial_states is None and not return_final_state:
         # full-sequence chunk, zero entering state: the whole inter-chunk
