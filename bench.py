@@ -128,10 +128,18 @@ def _bench_train(model_cfg, ds, data, n_steps=200, ds_cfg=None, batch_size=64):
     state, loss = train_block(state, rng, data, idx, 0, 0.01, 0.01)
     float(loss)
 
+    # min of two timed blocks — the SAME protocol as the layer-ablation
+    # profiler (tools/profile_wikitext_layers.py), so the number of record
+    # and the roofline narrative can be compared directly (VERDICT r3 #3);
+    # min discards one-sided tunnel-latency spikes
     t0 = time.perf_counter()
     state, loss = train_block(state, rng, data, idx, 0, 0.01, 0.01)
     float(loss)
-    return n_steps / (time.perf_counter() - t0)
+    t1 = time.perf_counter()
+    state, loss = train_block(state, rng, data, idx, 0, 0.01, 0.01)
+    float(loss)
+    t2 = time.perf_counter()
+    return n_steps / min(t1 - t0, t2 - t1)
 
 
 def _bench_sweep_grid(ds, data, n_steps=100):
@@ -178,7 +186,11 @@ def _bench_sweep_grid(ds, data, n_steps=100):
     t0 = time.perf_counter()
     state, loss = vblock(state, rngs, data, idx, s0, lrs, lrs)
     float(loss[0])
-    rate = g * n_steps / (time.perf_counter() - t0)  # point-steps/s/chip
+    t1 = time.perf_counter()
+    state, loss = vblock(state, rngs, data, idx, s0, lrs, lrs)
+    float(loss[0])
+    t2 = time.perf_counter()
+    rate = g * n_steps / min(t1 - t0, t2 - t1)  # point-steps/s/chip
 
     # the full sweep = 16 points × 8k steps; on v5e-8 the grid axis shards
     # over 8 chips (parallel/mesh.py), so wall-clock ≈ total/(8 × rate)

@@ -128,3 +128,29 @@ def test_split_complex_for_reference_s4_orbax():
     np.testing.assert_allclose(out["P"][..., 0], tree["P"].real)
     np.testing.assert_allclose(out["P"][..., 1], tree["P"].imag)
     np.testing.assert_allclose(out["C"], tree["C"])
+
+
+def test_params_only_host_restore(tmp_path):
+    """The standalone analysis restore (load_params_any on an orbax dir)
+    must read ONLY the params subtree, as host numpy — not the full
+    TrainState with its two param-sized AdamW moments."""
+    from tlie_tpu.analysis.compat import load_params_any
+    from tlie_tpu.training.checkpoint import save_checkpoint
+
+    params = {"encoder": {"kernel": np.arange(12.0, dtype=np.float32).reshape(3, 4)}}
+
+    class FakeState:
+        pass
+
+    tree = {
+        "params": params,
+        "opt_state": {"mu": jax.tree.map(np.ones_like, params),
+                      "nu": jax.tree.map(np.zeros_like, params)},
+        "step": 7,
+    }
+    ck = save_checkpoint(str(tmp_path / "ck"), tree, {"model": {}, "train": {}})
+    out = load_params_any(ck, {"layer": "lru"})
+    assert isinstance(out["encoder"]["kernel"], np.ndarray)
+    np.testing.assert_array_equal(out["encoder"]["kernel"],
+                                  params["encoder"]["kernel"])
+    assert set(out.keys()) == {"encoder"}

@@ -406,3 +406,60 @@ def test_mamba2_pseudo_lti_end_to_end_with_analysis(tmp_path):
     assert eig.shape == (16, L, 2, 2)
     assert np.all(eig > 0) and np.all(eig < 1)
     assert np.allclose(eig, eig[:, :1], atol=0)  # time-invariant: LTI
+
+
+def test_launch_cli_takes_in_memory_analysis_branch(tmp_path, monkeypatch):
+    """The launch.py train→analyze path must hand the in-memory trained
+    params to eval_eig (params is not None) — a silent fallback to the
+    orbax-restore path would re-pay the checkpoint upload per point
+    (VERDICT r3 weak #7)."""
+    import launch
+    import tlie_tpu.analysis as analysis_pkg
+
+    raw = {
+        "seed": 7,
+        "save": str(tmp_path / "ckpt"),
+        "dataset": {
+            "name": "MQAR", "_name_": "mqar",
+            "input_seq_length": 32, "num_kv_pairs": 4, "vocab_size": 64,
+            "num_train_examples": 128, "num_test_examples": 32,
+            "fixed_size": True,
+        },
+        "train": {
+            "total_steps": 12, "batch_size": 16, "lr": 3e-3, "wd": 0.1,
+            "eval_every": 6, "cosine_anneal": True, "param_group": None,
+        },
+        "model": {
+            "input_dim": 1, "output_dim": 64, "layer": "transformer",
+            "attention_fn": "lin-attention", "use_flash": False,
+            "num_layers": 1, "hidden_dim": 16, "state_dim": 16,
+            "num_heads": 1, "att_dropout": 0.0, "norm": "layer",
+            "embedding": True, "vocab_size": 64, "max_pos_embed": 32,
+            "mixer": "none", "mixer_dim": 16, "dropout": 0.0,
+            "classifier": False, "pooling": "mean", "dual": False,
+        },
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.dump(raw))
+    ana_path = tmp_path / "ana.yaml"
+    ana_path.write_text(yaml.dump(
+        {"batch_size": 16, "save_path": str(tmp_path / "analysis") + "/"}
+    ))
+
+    seen = {}
+    real_eval_eig = analysis_pkg.eval_eig
+
+    def spy(*args, **kwargs):
+        seen["params"] = kwargs.get("params")
+        return real_eval_eig(*args, **kwargs)
+
+    monkeypatch.setattr(analysis_pkg, "eval_eig", spy)
+    rc = launch.main([
+        "--config", str(cfg_path), "--analysis_config", str(ana_path),
+    ])
+    assert rc == 0
+    assert "params" in seen, "analysis never ran"
+    assert seen["params"] is not None, (
+        "launch.py fell back to the orbax-restore analysis path"
+    )
+    assert glob.glob(str(tmp_path / "analysis" / "*")), "no artifacts written"

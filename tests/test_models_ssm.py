@@ -240,3 +240,37 @@ def test_backbone_padded_masked_meanpool():
     )
     logits = model.apply(variables, (x, lengths))
     assert logits.shape == (3, 5)
+
+
+def test_ssd_learnable_init_states_and_dt_limit_plumbing():
+    """SSD API tail (ref models/mamba.py:38-40,66-67,119,125-128):
+    ``learnable_init_states`` adds a zeros (H, P, N) param that seeds the
+    scan state; ``dt_limit`` clamps the post-softplus dt.  Zeros init
+    states must reproduce the plain module bit-for-bit."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tlie_tpu.models.mamba2 import SSD
+
+    rng = jax.random.PRNGKey(3)
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 32, 16))
+    base = dict(d_model=16, d_state=8, d_conv=4, headdim=8)
+    plain = SSD(**base)
+    learn = SSD(**base, learnable_init_states=True)
+    vp = plain.init({"params": rng, "dropout": rng}, x)
+    vl = learn.init({"params": rng, "dropout": rng}, x)
+    h0 = vl["params"]["init_states"]
+    assert h0.shape == (2, 8, 8) and not np.any(np.asarray(h0))
+    with jax.default_matmul_precision("highest"):
+        y_plain = plain.apply(vp, x)
+        y_learn = learn.apply(vl, x)
+        np.testing.assert_array_equal(np.asarray(y_plain), np.asarray(y_learn))
+        # a nonzero trained state must flow into the output
+        vl2 = {"params": dict(vl["params"], init_states=jnp.ones_like(h0))}
+        y_seeded = learn.apply(vl2, x)
+        assert np.abs(np.asarray(y_seeded - y_learn)).max() > 1e-4
+        # dt_limit plumbing: an extreme clamp must change the output
+        clamped = SSD(**base, dt_limit=(0.0, 1e-4))
+        y_clamped = clamped.apply(vp, x)
+        assert np.abs(np.asarray(y_clamped - y_plain)).max() > 1e-4

@@ -165,8 +165,10 @@ def load_params_any(path: str, model_config: Dict[str, Any]) -> Dict:
             raise ValueError(f".pth checkpoints are torch-family only, got {family}")
         return torch_state_dict_to_flax(sd, family)
 
-    from ..training.checkpoint import restore_checkpoint
+    from ..training.checkpoint import restore_params_host
 
-    restored = restore_checkpoint(path)
-    params = restored["model"]["params"]
+    # params-only host restore: skips the opt_state (2 more param-sized
+    # trees) and the device round-trip of a full-tree restore — the warm
+    # WikiText standalone analysis dropped 45-58 s → ~a third of it
+    params = restore_params_host(path)
     return _split_complex(params)

@@ -240,7 +240,7 @@ def _extract_ssm_family(layer_list, model_config, eig_impl: str = "host") -> np.
     return np.concatenate(cols, axis=-1)
 
 
-def _init_params(model_config, batch_size, seed, family, sample_input):
+def _init_params(model_config, seed, family, sample_input):
     """Freshly initialised params (ref get_init_layers_ssm, eval_eig.py:207-239).
 
     Params are independent of the batch dimension, so callers pass a
@@ -308,7 +308,7 @@ def eval_eig(
         inputs, _ = prep_batch((X, X, aux), model_config["seq_len"],
                                model_config["input_dim"], lang_model=True)
 
-        model, init_p = _init_params(model_config, 1, seed, family, inputs[:1])
+        model, init_p = _init_params(model_config, seed, family, inputs[:1])
         collector = _make_collector(model, family, model_config)
         # init spectra depend only on (config, seed, analysis batch) — reuse
         # across the checkpoints of a sweep instead of re-extracting
@@ -325,7 +325,6 @@ def eval_eig(
             model, trained_p, inputs, model_config, collector
         )
 
-        batch_size = eig.shape[0]
         if family == "mamba":
             rad_init, rad = np.abs(eig_init), np.abs(eig)
             arrays["percentage_init"] = threshold_analysis(rad_init, RADIUS_THRESHOLDS)
@@ -364,14 +363,13 @@ def eval_eig(
         )
 
     elif family in ("lru", "s4", "s5"):
-        batch_size = conf_args["batch_size"]
         # spectra come from params only for the SSM families; a batch-1 init
         # yields identical params without paying a full-batch forward
         sample = jnp.ones((1, model_config["seq_len"], model_config["input_dim"]))
         eig_impl = conf_args.get("eig_impl", "host")
 
         def _init_spectra():
-            _, init_p = _init_params(model_config, batch_size, seed, family, sample)
+            _, init_p = _init_params(model_config, seed, family, sample)
             return _extract_ssm_family(_ssm_layer_params(init_p), model_config, eig_impl)
 
         # SSM spectra are params-only → init spectra are a pure function of

@@ -26,13 +26,6 @@ from .layers import (GLU, MATCH, DepthwiseCausalConv, TokenEmbeddings,
                      torch_linear_init)
 
 
-def _pick_chunk(chunk_size: Optional[int], L: int) -> Optional[int]:
-    """None defers to the op's shape-aware auto choice (ops/ssd.py
-    ``_auto_chunk`` — it sees B and H, which this layer-level hook does
-    not); an explicit model ``chunk_size`` always wins."""
-    return chunk_size
-
-
 def _dt_bias_init(rng, nheads, dt_min, dt_max, dt_init_floor=1e-4):
     """Inverse-softplus of a log-uniform dt sample (ref models/mamba.py:71-78)."""
     u = jax.random.uniform(rng, (nheads,))
@@ -54,9 +47,15 @@ class SSD(nn.Module):
     dt_min: float = 0.001
     dt_max: float = 0.1
     dt_init_floor: float = 1e-4
-    # None → largest of (512, 256) dividing L: the chip profile at LM shapes
-    # (tools/profile_ssd.py, RESULTS.md round 2) shows chunk 512 monotonically
-    # faster than the reference kernel's fixed 256 when L allows it
+    # Post-softplus dt clamp; (0, inf) — every reference config — is a no-op
+    # (ref models/mamba.py:38,125-128)
+    dt_limit: tuple = (0.0, float("inf"))
+    # Zeros-init learnable h0 of shape (H, P, N), broadcast over batch
+    # (ref models/mamba.py:39,66-67,119)
+    learnable_init_states: bool = False
+    # None → the op's shape-aware auto choice (ops/ssd.py ``_auto_chunk``,
+    # up to 1024 under an HBM budget — measured monotonically faster than the
+    # reference kernel's fixed 256 at LM shapes); explicit values win
     chunk_size: Optional[int] = None
     bias: bool = False
     deterministic: bool = True
@@ -117,14 +116,23 @@ class SSD(nn.Module):
         C_mat = xBC[..., d_inner + g * n :]
 
         bsz, L = x.shape[0], x.shape[1]
+        initial_states = None
+        if self.learnable_init_states:
+            h0 = self.param(
+                "init_states", nn.initializers.zeros,
+                (nheads, self.headdim, n),
+            )
+            initial_states = jnp.broadcast_to(h0, (bsz,) + h0.shape)
         y = ssd_chunked_scan(
             x.reshape(bsz, L, nheads, self.headdim),
             dt,
             -jnp.exp(A_log),
             B_mat.reshape(bsz, L, g, n),
             C_mat.reshape(bsz, L, g, n),
-            chunk_size=_pick_chunk(self.chunk_size, L),
+            chunk_size=self.chunk_size,
             D=D,
+            initial_states=initial_states,
+            dt_limit=self.dt_limit,
         )
         y = y.reshape(bsz, L, d_inner)
         return nn.Dense(
@@ -146,6 +154,10 @@ class SSD_LTI(nn.Module):
     dt_min: float = 0.001
     dt_max: float = 0.1
     dt_init_floor: float = 1e-4
+    # Clamps the kernel's step input — here the constant β (ref
+    # models/mamba.py:168-169,264-268 passes dt_limit with beta as dt)
+    dt_limit: tuple = (0.0, float("inf"))
+    learnable_init_states: bool = False
     chunk_size: Optional[int] = None
     bias: bool = False
     deterministic: bool = True
@@ -208,14 +220,23 @@ class SSD_LTI(nn.Module):
         B_mat = (dt_full * B_mat).astype(x.dtype)
         beta = jnp.ones((bsz, L, nheads))
 
+        initial_states = None
+        if self.learnable_init_states:
+            h0 = self.param(
+                "init_states", nn.initializers.zeros,
+                (nheads, self.headdim, n),
+            )
+            initial_states = jnp.broadcast_to(h0, (bsz,) + h0.shape)
         y = ssd_chunked_scan(
             x.reshape(bsz, L, nheads, self.headdim),
             beta,
             -jax.nn.softplus(A),
             B_mat.reshape(bsz, L, g, n),
             C_mat.reshape(bsz, L, g, n),
-            chunk_size=_pick_chunk(self.chunk_size, L),
+            chunk_size=self.chunk_size,
             D=D,
+            initial_states=initial_states,
+            dt_limit=self.dt_limit,
         )
         y = y.reshape(bsz, L, d_inner)
         return nn.Dense(
@@ -240,6 +261,8 @@ class MambaBlock(nn.Module):
     prenorm: bool
     pseudoLTI: bool
     chunk_size: Optional[int] = None
+    dt_limit: tuple = (0.0, float("inf"))
+    learnable_init_states: bool = False
     deterministic: bool = True
     dtype: Optional[Any] = None
 
@@ -254,6 +277,8 @@ class MambaBlock(nn.Module):
             expand=self.expansion,
             headdim=self.headdim,
             chunk_size=self.chunk_size,
+            dt_limit=self.dt_limit,
+            learnable_init_states=self.learnable_init_states,
             deterministic=self.deterministic,
             dtype=self.dtype,
         )
@@ -319,6 +344,8 @@ class Mamba(nn.Module):
                 prenorm=cfg["prenorm"],
                 pseudoLTI=cfg.get("pseudoLTI", False),
                 chunk_size=cfg.get("chunk_size"),
+                dt_limit=tuple(cfg.get("dt_limit", (0.0, float("inf")))),
+                learnable_init_states=cfg.get("learnable_init_states", False),
                 deterministic=self.deterministic,
                 dtype=dtype,
             )

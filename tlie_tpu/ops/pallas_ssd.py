@@ -37,19 +37,38 @@ from jax.experimental.pallas import tpu as pltpu
 _TILE = 256
 
 
-def eligible(L: int, N: int, P: int) -> bool:
-    """Static shape gate (Mosaic tiling constraints) + env override.
+def eligible(L: int, N: int, P: int, Hg: int = 8) -> bool:
+    """Static shape gate (Mosaic tiling constraints + VMEM budget) + env
+    opt-in.
 
-    ``TLIE_SSD_INTRA=xla`` disables the kernel everywhere;
-    ``TLIE_SSD_INTRA=pallas`` forces it (interpret mode off-TPU, for tests).
+    OPT-IN: the kernel runs only under ``TLIE_SSD_INTRA=pallas`` (interpret
+    mode off-TPU, for tests).  The on-chip A/B at the WikiText bf16 shapes
+    (tools/profile_wikitext_layers.py 30 6 bf16, round 4) measured the
+    kernel at 32.72 steps/s vs 33.93 for the XLA scores path at the same
+    commit — XLA's fused producer wins despite materialising the (Q, Q, Hg)
+    scores in HBM, and the kernel's cold Mosaic compile costs ~10 min
+    through the axon tunnel — so the XLA path is the default
+    (RESULTS.md round-4 A/B table).
+
+    The env var and backend are read at TRACE time: a jitted caller bakes
+    the choice into its compiled executable, so flipping the env after the
+    first step of a cached train step has no effect for that process.
+
+    ``Hg`` is heads-per-group: the kernels hold (Hg, T, P) f32 scratch and
+    unroll an Hg-long per-head loop, so many heads per group would blow
+    VMEM / compile time — bound the estimated VMEM working set instead of
+    silently compiling a doomed kernel.
     """
     mode = os.environ.get("TLIE_SSD_INTRA", "").lower()
-    if mode == "xla":
-        return False
-    if jax.default_backend() in ("cpu", "gpu") and mode != "pallas":
+    if mode != "pallas":
         return False
     t = min(_TILE, L)
-    return L % t == 0 and L >= 128 and N % 128 == 0 and P % 64 == 0
+    if not (L % t == 0 and L >= 128 and N % 128 == 0 and P % 64 == 0):
+        return False
+    # worst case (_bwd_j): C/B/dB tiles (T, N), cs tiles + dcs (Hg, T),
+    # xdt/dy/dx tiles + scratch (Hg, T, P); count all at 4 B.
+    vmem_bytes = 4 * t * (3 * N + Hg * (4 * P + 4))
+    return vmem_bytes <= 10 * 2**20
 
 
 def _interpret() -> bool:

@@ -55,6 +55,16 @@ def _expand_groups(m: jax.Array, H: int) -> jax.Array:
     return jnp.repeat(m, rep, axis=2)
 
 
+def _clamp_dt(dt: jax.Array, dt_limit) -> jax.Array:
+    """Reference ``dt_limit`` semantics (ref models/mamba.py:38,125-128 →
+    mamba_ssm kernel kwarg): clamp the post-softplus dt everywhere it is
+    used.  ``(0, inf)`` — the value in every reference config — is a no-op
+    and stays out of the graph."""
+    if dt_limit is None or tuple(dt_limit) == (0.0, float("inf")):
+        return dt
+    return jnp.clip(dt, dt_limit[0], dt_limit[1])
+
+
 def ssd_recurrent_scan(
     x: jax.Array,
     dt: jax.Array,
@@ -63,8 +73,10 @@ def ssd_recurrent_scan(
     C_mat: jax.Array,
     D: Optional[jax.Array] = None,
     initial_states: Optional[jax.Array] = None,
+    dt_limit=None,
 ) -> jax.Array:
     """Sequential oracle (test ground truth / decode path)."""
+    dt = _clamp_dt(dt, dt_limit)
     B, L, H, P = x.shape
     N = B_mat.shape[-1]
     Bh = _expand_groups(B_mat, H)
@@ -104,9 +116,12 @@ def ssd_chunked_scan(
     D: Optional[jax.Array] = None,
     initial_states: Optional[jax.Array] = None,
     return_final_state: bool = False,
+    dt_limit=None,
 ):
     """Parallel chunked SSD scan. See module docstring for semantics.
-    ``chunk_size=None`` picks a shape-aware chunk (``_auto_chunk``).
+    ``chunk_size=None`` picks a shape-aware chunk (``_auto_chunk``);
+    ``dt_limit=(lo, hi)`` clamps the post-softplus dt (ref
+    models/mamba.py:38,125-128).
 
     B/C stay at **group** granularity end-to-end: the score matmul
     CᵀB is head-independent within a group, so computing it once per
@@ -116,12 +131,13 @@ def ssd_chunked_scan(
     ngroups=1 B/C straight to the Triton kernel, which re-reads the
     shared tiles per head instead).
     """
+    dt = _clamp_dt(dt, dt_limit)
     B, L, H, P = x.shape
     G, N = B_mat.shape[2], B_mat.shape[-1]
     Hg = H // G  # heads per group; head h = g*Hg + hg (repeat layout)
     Q = _auto_chunk(B, L, H) if chunk_size is None else chunk_size
     if L % Q != 0:
-        Q = _pick_chunk(L, Q)
+        Q = _largest_divisor_chunk(L, Q)
     C = L // Q
 
     # accumulation dtype for the decay recurrence math (cumsum/exp/carry) is
@@ -149,11 +165,12 @@ def ssd_chunked_scan(
 
     # --- intra-chunk (diagonal blocks): masked decay attention -------------
     # decay from step j to step i (i >= j): exp(cs_i - cs_j); per-head.
-    if pallas_ssd.eligible(Q, N, P):
-        # flash-style fused kernel (ops/pallas_ssd.py): each chunk folds
-        # into the kernel's batch axis, so the (Q, Q, Hg) score tensors are
-        # never materialised in HBM — 134 MB bf16 per layer-step saved at
-        # the WikiText shapes (full-sequence chunk)
+    if pallas_ssd.eligible(Q, N, P, Hg):
+        # flash-style fused kernel (ops/pallas_ssd.py), OPT-IN via
+        # TLIE_SSD_INTRA=pallas: avoids materialising the (Q, Q, Hg) score
+        # tensors in HBM, but the round-4 on-chip A/B measured it ~3.6%
+        # slower than the XLA fused-producer path at the WikiText bf16
+        # shapes (32.72 vs 33.93 steps/s), so XLA is the default
         Cm = Cc.transpose(0, 1, 3, 2, 4).reshape(B * C * G, Q, N)
         Bm = Bc.transpose(0, 1, 3, 2, 4).reshape(B * C * G, Q, N)
         cs_t = cs.transpose(0, 1, 3, 4, 2).reshape(B * C * G, Hg, Q)
@@ -229,7 +246,7 @@ def ssd_chunked_scan(
     return y
 
 
-def _pick_chunk(L: int, preferred: int) -> int:
+def _largest_divisor_chunk(L: int, preferred: int) -> int:
     for c in (preferred, 128, 64, 32, 16, 8, 4, 2, 1):
         if c <= L and L % c == 0:
             return c

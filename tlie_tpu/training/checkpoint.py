@@ -37,6 +37,44 @@ def restore_checkpoint(path: str) -> Dict[str, Any]:
     return checkpointer.restore(_abspath(path))
 
 
+def restore_params_host(path: str) -> Dict[str, Any]:
+    """Restore ONLY the ``model.params`` subtree, as host numpy arrays.
+
+    The standalone analysis path (analysis/compat.py ``load_params_any``)
+    needs just the trained params; a full-tree restore also pulls the AdamW
+    ``opt_state`` (two more param-sized trees) and materialises everything
+    as device arrays — through the axon tunnel that is a ~3× larger
+    transfer than the params the analysis will upload anyway.  Orbax
+    partial restore (item skeleton + ``transforms={}``) reads only the
+    params arrays from disk and keeps them on host."""
+    ckpt_dir = _abspath(path)
+    checkpointer = ocp.PyTreeCheckpointer()
+    meta = checkpointer.metadata(ckpt_dir).item_metadata.tree
+    params_meta = meta["model"]["params"]
+
+    def skeleton(node):
+        if isinstance(node, dict):
+            return {k: skeleton(v) for k, v in node.items()}
+        return 0
+
+    def args(node):
+        if isinstance(node, dict):
+            return {k: args(v) for k, v in node.items()}
+        import numpy as np
+
+        return ocp.RestoreArgs(restore_type=np.ndarray)
+
+    restored = checkpointer.restore(
+        ckpt_dir,
+        args=ocp.args.PyTreeRestore(
+            item={"model": {"params": skeleton(params_meta)}},
+            restore_args={"model": {"params": args(params_meta)}},
+            transforms={},
+        ),
+    )
+    return restored["model"]["params"]
+
+
 def save_resume(path: str, state, meta: Dict[str, Any]) -> str:
     """Mid-training resume snapshot: ``{"model": TrainState, "meta": {...}}``.
 
