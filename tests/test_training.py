@@ -391,3 +391,66 @@ def test_step_resume_matches_uninterrupted_run(tmp_path):
     _, perf_resumed = run(make_cfg(resume=True))
 
     assert perf_resumed == pytest.approx(perf_full, abs=1e-6)
+
+
+def test_fused_bf16_head_block_matches_xla_loss():
+    """The fused decoder+CE head with bf16 MXU operands (the production
+    perf configuration, ops/fused_xent.py via scan_loop fused_head) must
+    track the XLA materialised-logits block's loss trajectory to bf16
+    rounding on the same data order."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tlie_tpu.config import ExperimentConfig
+    from tlie_tpu.data import SequenceDataset
+    from tlie_tpu.models.registry import build_models
+    from tlie_tpu.training.loop import _make_state
+    from tlie_tpu.training.scan_loop import (batch_indices, make_train_block,
+                                             put_dataset)
+
+    raw = {
+        "seed": 5, "save": None,
+        "dataset": {
+            "name": "MQAR", "_name_": "mqar", "input_seq_length": 32,
+            "num_kv_pairs": 4, "vocab_size": 64,
+            "num_train_examples": 128, "num_test_examples": 64,
+            "fixed_size": True,
+        },
+        "train": {
+            "total_steps": 8, "batch_size": 16, "lr": 3e-3, "wd": 0.1,
+            "eval_every": 100, "cosine_anneal": True, "param_group": None,
+        },
+        "model": {
+            "input_dim": 1, "output_dim": 64, "layer": "transformer",
+            "attention_fn": "lin-attention", "use_flash": False,
+            "num_layers": 1, "hidden_dim": 16, "state_dim": 16,
+            "num_heads": 1, "att_dropout": 0.0, "norm": "layer",
+            "embedding": True, "vocab_size": 64, "max_pos_embed": 32,
+            "mixer": "none", "mixer_dim": 16, "dropout": 0.0,
+            "classifier": False, "pooling": "mean", "dual": False,
+        },
+    }
+    cfg = ExperimentConfig(raw).validate()
+    ds = SequenceDataset.registry["mqar"](**cfg.dataset)
+    ds.setup()
+    cfg.derive_runtime_fields(ds)
+    data = put_dataset(ds.train_inputs, ds.train_labels)
+    model, _, _ = build_models(cfg.model, False)
+    idx = batch_indices(np.random.default_rng(0), len(ds.train_inputs), 16, 8)
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    losses = {}
+    for fused in (False, True):
+        state, _, rng = _make_state(cfg, model, integer_inputs=True)
+        block = make_train_block(
+            model, "layer", ("regular",), warmup=0, total_steps=100,
+            cosine=True, lr_min=1e-6, fused_head=fused,
+            fused_head_dtype="bfloat16" if fused else None,
+        )
+        with pltpu.force_tpu_interpret_mode():
+            _, loss = block(state, rng, data, jnp.asarray(idx), 0, 3e-3, 3e-3)
+        losses[fused] = float(loss)
+    assert np.isfinite(losses[True])
+    assert abs(losses[True] - losses[False]) < 0.05 * abs(losses[False]) + 0.02

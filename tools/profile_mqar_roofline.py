@@ -10,8 +10,11 @@ under one ablation per invocation:
   * vocab 512 vs 8192 -> the embedding + decoder + CE path cost
   * K 25/100          -> per-dispatch overhead (tunnel + host) amortisation
 
-Usage: python tools/profile_mqar_roofline.py FAMILY [K] [num_layers] [vocab]
+Usage: python tools/profile_mqar_roofline.py FAMILY [K] [num_layers] [vocab] [fused]
   FAMILY in {lin, mamba2}.  Defaults: K=100, num_layers=2, vocab=8192.
+  A 5th arg ``fused`` routes the loss through the fused decoder+CE Pallas
+  kernel with bf16 MXU operands (ops/fused_xent.py) — the vocab-path
+  alternative to XLA's materialised-logits CE.
 Run on the chip, one variant per process (remote compiles are minutes cold).
 """
 
@@ -37,6 +40,7 @@ def main():
     K = int(sys.argv[2]) if len(sys.argv) > 2 else 100
     nl = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     vocab = int(sys.argv[4]) if len(sys.argv) > 4 else 8192
+    fused = len(sys.argv) > 5 and sys.argv[5] == "fused"
     B = 64
 
     model_cfg = dict(_LIN_ATT_MODEL if family == "lin" else _MAMBA2_MODEL)
@@ -55,7 +59,8 @@ def main():
     cfg, train_model, state, rng = _setup(model_cfg, ds, ds_cfg, batch_size=B)
     block = make_train_block(
         train_model, "layer", ("regular",), warmup=0,
-        total_steps=10_000, cosine=True, lr_min=1e-6, fused_head=False,
+        total_steps=10_000, cosine=True, lr_min=1e-6, fused_head=fused,
+        fused_head_dtype="bfloat16" if fused else None,
     )
     idx = batch_indices(np.random.default_rng(0), len(ds.train_inputs), B, K)
     state, loss = block(state, rng, data, idx, 0, 0.01, 0.01)
@@ -70,7 +75,7 @@ def main():
     ms = min(t1 - t0, t2 - t1) / K * 1e3
     print(json.dumps({
         "metric": "mqar_block_roofline",
-        "variant": f"{family}_L{nl}_V{vocab}_K{K}",
+        "variant": f"{family}_L{nl}_V{vocab}_K{K}" + ("_fused" if fused else ""),
         "ms_per_step": round(ms, 3),
         "steps_per_sec": round(1e3 / ms, 2),
     }))
