@@ -137,10 +137,11 @@ def test_params_only_host_restore(tmp_path):
     from tlie_tpu.analysis.compat import load_params_any
     from tlie_tpu.training.checkpoint import save_checkpoint
 
-    params = {"encoder": {"kernel": np.arange(12.0, dtype=np.float32).reshape(3, 4)}}
-
-    class FakeState:
-        pass
+    params = {"encoder": {"kernel": np.arange(12.0, dtype=np.float32).reshape(3, 4)},
+              # reference S4 checkpoints carry complex arrays — the partial
+              # restore must hand them to _split_complex intact
+              "P": (np.random.randn(2, 3) + 1j * np.random.randn(2, 3))
+              .astype(np.complex64)}
 
     tree = {
         "params": params,
@@ -153,4 +154,8 @@ def test_params_only_host_restore(tmp_path):
     assert isinstance(out["encoder"]["kernel"], np.ndarray)
     np.testing.assert_array_equal(out["encoder"]["kernel"],
                                   params["encoder"]["kernel"])
-    assert set(out.keys()) == {"encoder"}
+    assert set(out.keys()) == {"encoder", "P"}
+    # complex restores intact and splits into the trailing (re, im) axis
+    assert out["P"].shape == (2, 3, 2)
+    np.testing.assert_allclose(out["P"][..., 0], params["P"].real, rtol=1e-6)
+    np.testing.assert_allclose(out["P"][..., 1], params["P"].imag, rtol=1e-6)
