@@ -358,3 +358,21 @@ def test_fused_softmax_xent_ragged_vocab():
     for a, r in zip(g_f, g_r):
         assert a.shape == r.shape
         np.testing.assert_allclose(np.asarray(a), np.asarray(r), rtol=1e-4, atol=1e-6)
+
+
+def test_ssd_pallas_eligibility_gate(monkeypatch):
+    """Opt-in + shape + VMEM gates of the fused intra-chunk kernel."""
+    from tlie_tpu.ops import pallas_ssd
+
+    # default (no env): never eligible — the on-chip A/B showed the XLA
+    # path faster at the production shapes (RESULTS.md round 4)
+    monkeypatch.delenv("TLIE_SSD_INTRA", raising=False)
+    assert not pallas_ssd.eligible(1024, 512, 64, 8)
+    monkeypatch.setenv("TLIE_SSD_INTRA", "pallas")
+    assert pallas_ssd.eligible(1024, 512, 64, 8)      # WikiText shape
+    assert pallas_ssd.eligible(512, 128, 128, 1)      # MQAR mamba2 shape
+    assert not pallas_ssd.eligible(100, 128, 64, 8)   # ragged L
+    assert not pallas_ssd.eligible(512, 100, 64, 8)   # ragged N
+    assert not pallas_ssd.eligible(1024, 512, 64, 64)  # Hg blows VMEM
+    monkeypatch.setenv("TLIE_SSD_INTRA", "xla")
+    assert not pallas_ssd.eligible(1024, 512, 64, 8)
