@@ -86,6 +86,18 @@ _WT_MAMBA2_MODEL = {
 }
 
 
+def _sparse_k(ds):
+    """Sparse-head K for a device dataset (see training/loop.py gating):
+    dataset-wide max count of non-ignored labels per row, when sparse."""
+    if os.environ.get("TLIE_SPARSE_HEAD", "1") == "0":
+        return None
+    labels = np.asarray(ds.train_labels)
+    if labels.ndim != 2:
+        return None
+    kmax = int((labels != -100).sum(axis=1).max())
+    return kmax if 0 < kmax * 4 <= labels.shape[1] else None
+
+
 def _setup(model_cfg, ds, ds_cfg=None, batch_size=64):
     from tlie_tpu.config import ExperimentConfig
     from tlie_tpu.models.registry import build_models
@@ -117,6 +129,11 @@ def _bench_train(model_cfg, ds, data, n_steps=200, ds_cfg=None, batch_size=64):
         # (73.6 vs 82 steps/s): its in-kernel matmuls run fp32 while XLA's
         # materialised-logits path rides bf16 MXU passes — kept opt-in
         fused_head=False,
+        # production default (training/loop.py): gather the ≤K valid label
+        # positions before the decoder when labels are mostly -100 — exact
+        # same loss/grads, vocab path shrinks by L/K (8× at MQAR shapes).
+        # TLIE_SPARSE_HEAD=0 disables for A/B.
+        sparse_head_k=_sparse_k(ds),
     )
     nprng = np.random.default_rng(0)
     idx = batch_indices(nprng, len(ds.train_inputs), batch_size, n_steps)
@@ -167,6 +184,7 @@ def _bench_sweep_grid(ds, data, n_steps=100):
     block = make_train_block(
         train_model, "layer", ("regular",), warmup=0,
         total_steps=8_000, cosine=True, lr_min=1e-6,
+        sparse_head_k=_sparse_k(ds),
     )
     vblock = jax.jit(jax.vmap(
         lambda st, rng, d, idx, s0, lr, slr: block(st, rng, d, idx, s0, lr, slr),

@@ -454,3 +454,95 @@ def test_fused_bf16_head_block_matches_xla_loss():
         losses[fused] = float(loss)
     assert np.isfinite(losses[True])
     assert abs(losses[True] - losses[False]) < 0.05 * abs(losses[False]) + 0.02
+
+
+def _mqar_raw(layer_cfg):
+    raw = {
+        "seed": 5, "save": None,
+        "dataset": {
+            "name": "MQAR", "_name_": "mqar", "input_seq_length": 32,
+            "num_kv_pairs": 4, "vocab_size": 64,
+            "num_train_examples": 128, "num_test_examples": 64,
+            "fixed_size": True,
+        },
+        "train": {
+            "total_steps": 8, "batch_size": 16, "lr": 3e-3, "wd": 0.1,
+            "eval_every": 100, "cosine_anneal": True, "param_group": None,
+        },
+        "model": layer_cfg,
+    }
+    return raw
+
+
+_LIN_MODEL = {
+    "input_dim": 1, "output_dim": 64, "layer": "transformer",
+    "attention_fn": "lin-attention", "use_flash": False,
+    "num_layers": 1, "hidden_dim": 16, "state_dim": 16,
+    "num_heads": 1, "att_dropout": 0.0, "norm": "layer",
+    "embedding": True, "vocab_size": 64, "max_pos_embed": 32,
+    "mixer": "none", "mixer_dim": 16, "dropout": 0.0,
+    "classifier": False, "pooling": "mean", "dual": False,
+}
+
+_LRU_MODEL = {
+    "input_dim": 64, "output_dim": 64, "layer": "lru",
+    "num_layers": 1, "hidden_dim": 16, "state_dim": 16,
+    "norm": "batch", "prenorm": False, "activation": "half_glu1",
+    "dropout": 0.0, "pooling": "none", "embedding": False,
+    "r_min": 0.9, "r_max": 0.999, "max_phase": 6.28,
+}
+
+
+@pytest.mark.parametrize("family", ["lin", "lru"])
+def test_sparse_head_matches_dense(family):
+    """Sparse decoder head (gather valid label positions before the decoder
+    matmul) must give the identical loss AND identical trained params as the
+    dense head — masked (-100) positions have exactly zero logit-gradient."""
+    from tlie_tpu.config import ExperimentConfig
+    from tlie_tpu.data import SequenceDataset
+    from tlie_tpu.models.registry import build_models
+    from tlie_tpu.training.loop import _make_state
+    from tlie_tpu.training.scan_loop import (batch_indices, make_train_block,
+                                             put_dataset)
+
+    model_cfg = dict(_LIN_MODEL if family == "lin" else _LRU_MODEL)
+    cfg = ExperimentConfig(_mqar_raw(model_cfg)).validate()
+    ds = SequenceDataset.registry["mqar"](**cfg.dataset)
+    ds.setup()
+    cfg.derive_runtime_fields(ds)
+    labels = np.asarray(ds.train_labels).copy()
+    # vary the valid count: strip one valid label from a third of the rows so
+    # K (the dataset max) exceeds some rows' counts — the top_k fallback
+    # positions then carry -100 labels and must stay masked
+    for i in range(0, len(labels), 3):
+        (vp,) = np.nonzero(labels[i] != -100)
+        labels[i, vp[0]] = -100
+    k = int((labels != -100).sum(axis=1).max())
+    assert k == 4
+    data = put_dataset(ds.train_inputs, labels)
+    model, _, _ = build_models(cfg.model, False)
+    norm = "batch" if family == "lru" else "layer"
+    idx = batch_indices(np.random.default_rng(0), len(ds.train_inputs), 16, 8)
+
+    outs = {}
+    for sparse in (None, k):
+        state, _, rng = _make_state(cfg, model, integer_inputs=(family == "lin"))
+        block = make_train_block(
+            model, norm, ("regular",), warmup=0, total_steps=100,
+            cosine=True, lr_min=1e-6, sparse_head_k=sparse,
+        )
+        state, loss = block(state, rng, data, jnp.asarray(idx), 0, 3e-3, 3e-3)
+        outs[sparse] = (state, float(loss))
+
+    (sd, ld), (ss, ls) = outs[None], outs[k]
+    assert np.isfinite(ls)
+    assert abs(ls - ld) < 1e-5 + 1e-5 * abs(ld)
+    flat_d = jax.tree_util.tree_leaves(sd.params)
+    flat_s = jax.tree_util.tree_leaves(ss.params)
+    for a, b in zip(flat_d, flat_s):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
+    if norm == "batch":
+        for a, b in zip(jax.tree_util.tree_leaves(sd.batch_stats),
+                        jax.tree_util.tree_leaves(ss.batch_stats)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-5)

@@ -211,6 +211,13 @@ class ClassificationModel(nn.Module):
         )
         self.decoder = nn.Dense(self.d_output, dtype=self.dtype)
 
+    def features(self, x):
+        """Backbone features before pooling/decoder — consumed by the
+        sparse/fused decoder-head paths (training/scan_loop.py)."""
+        if self.padded:
+            x, _ = x
+        return self.encoder(x)
+
     def __call__(self, x):
         if self.padded:
             x, lengths = x

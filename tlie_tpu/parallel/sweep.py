@@ -231,8 +231,24 @@ def _run_group(
     bsz = train_config["batch_size"]
 
     group_names = tuple(sorted(state.opt_state.inner_states.keys()))
+    # sparse decoder head (see training/loop.py): gather the ≤K valid label
+    # positions before the decoder matmul when labels are mostly -100 (MQAR);
+    # identical loss/grads, vocab path shrinks by L/K per grid point
+    sparse_k = None
+    m0 = cfg0.model
+    per_pos = (
+        not m0.get("classifier", False)
+        and not m0.get("dual", False)
+        and (m0["layer"] == "transformer" or m0.get("pooling") == "none")
+    )
+    labels_np = np.asarray(dataset.train_labels)
+    if train_config.get("sparse_head", True) and per_pos and labels_np.ndim == 2:
+        kmax = int((labels_np != -100).sum(axis=1).max())
+        if 0 < kmax * 4 <= labels_np.shape[1]:
+            sparse_k = kmax
     block = make_train_block(
-        train_model, norm, group_names, warmup, total_steps, cosine, lr_min
+        train_model, norm, group_names, warmup, total_steps, cosine, lr_min,
+        sparse_head_k=sparse_k,
     )
     evaluator = make_eval_block(eval_model, norm, metrics_fn)
 

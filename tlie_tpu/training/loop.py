@@ -262,6 +262,20 @@ def train(
         # logits cube never materialised.  Opt-in: at bench shapes it measured
         # ~10% slower than XLA's bf16 materialised-logits path (fp32 in-kernel
         # matmuls); it wins when the logits cube doesn't fit HBM.
+        # per-position decoder head? (the gate both head optimisations share)
+        # transformer ignores pooling when classifier=False (per-position
+        # decoder, ref models/transformer.py:149-161); mamba and the SSM
+        # backbone pool before their decoder so only pooling="none" is
+        # per-position
+        per_pos = (
+            lang_model
+            and not model_config.get("classifier", False)
+            and not model_config.get("dual", False)
+            and (
+                family == "transformer"
+                or model_config.get("pooling") == "none"
+            )
+        )
         fused_head = bool(train_config.get("fused_xent", False))
         if mp > 1:
             # the fused Pallas head is a single-device kernel that reads the
@@ -278,18 +292,6 @@ def train(
         if fused_head:
             from ..ops.fused_xent import fused_xent_eligible
 
-            # transformer ignores pooling when classifier=False (per-position
-            # decoder, ref models/transformer.py:149-161); mamba pools before
-            # its decoder so only pooling="none" is per-position
-            per_pos = (
-                lang_model
-                and not model_config.get("classifier", False)
-                and not model_config.get("dual", False)
-                and (
-                    family == "transformer"
-                    or (family == "mamba" and model_config.get("pooling") == "none")
-                )
-            )
             m_rows = bsz * seq_len
             on_tpu = jax.default_backend() not in ("cpu", "gpu")
             fused_head = (
@@ -299,6 +301,26 @@ def train(
                     m_rows, model_config["hidden_dim"], model_config["output_dim"]
                 )
             )
+        # sparse decoder head: when the task's (B, L) labels are mostly
+        # ignore (-100) — MQAR supervises only its num_kv_pairs query
+        # positions (ref dataloaders/mqar.py:83-135) — gather the ≤K valid
+        # positions before the decoder matmul.  Identical loss and grads
+        # (masked positions have exactly zero logit-gradient), but the vocab
+        # path (decoder matmuls + logits HBM traffic + CE) shrinks by L/K:
+        # 8× at the reference MQAR shapes.  K is the dataset-wide max valid
+        # count, so no valid position is ever dropped.
+        sparse_head_k = None
+        if (
+            train_config.get("sparse_head", True)
+            and not fused_head
+            and per_pos
+            and mp == 1
+        ):
+            labels_np = np.asarray(trainloader.labels)
+            if labels_np.ndim == 2:
+                kmax = int((labels_np != -100).sum(axis=1).max())
+                if 0 < kmax * 4 <= seq_len:  # pay the gather only when sparse
+                    sparse_head_k = kmax
         train_block = make_train_block(
             train_model, norm, tuple(sorted(group_names)),
             warmup, total_steps, cosine, lr_min,
@@ -306,9 +328,12 @@ def train(
             fused_head=fused_head,
             mesh=mesh,
             fused_head_dtype=fused_head_dtype,
+            sparse_head_k=sparse_head_k,
         )
         if fused_head:
             print("[train] fused decoder+softmax-CE head enabled")
+        if sparse_head_k is not None:
+            print(f"[train] sparse decoder head: K={sparse_head_k} of L={seq_len}")
         eval_block = make_eval_block(eval_model, norm, metrics_fn, mesh=mesh)
         eval_idx = eval_indices(len(testloader.inputs), bsz)
         nprng = np.random.default_rng(config.seed)

@@ -23,6 +23,7 @@ from typing import Callable, NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from .state import set_group_learning_rates
 from .steps import cross_entropy_loss
@@ -100,6 +101,7 @@ def make_train_block(
     fused_head: bool = False,
     mesh=None,
     fused_head_dtype=None,
+    sparse_head_k: Optional[int] = None,
 ):
     """Build a jitted runner for K on-device training steps.
 
@@ -112,7 +114,50 @@ def make_train_block(
     cube never materialises.  ``fused_head_dtype=jnp.bfloat16`` (the
     compute_dtype mode) runs the kernel's matmuls on bf16 operands with f32
     accumulation; the autodiff cast returns f32 param gradients.
+
+    ``sparse_head_k=K`` enables the sparse decoder head for tasks whose
+    (B, L) labels are mostly ``-100`` (MQAR: 64 query positions out of 512,
+    ref dataloaders/mqar.py:83-135): the K valid positions per row are
+    gathered from the backbone features BEFORE the decoder matmul, so the
+    vocab path (decoder matmuls + logits traffic + CE) shrinks by L/K.
+    Positions whose label is ignored have exactly zero gradient through the
+    logits, so this is the identical loss and identical gradients — K must
+    be an upper bound on valid labels per row (the caller verifies against
+    the dataset).  Mutually exclusive with ``fused_head``; per-position
+    decoders only (no pooling/classifier/dual).
     """
+    if sparse_head_k is not None and fused_head:
+        raise ValueError("sparse_head_k is mutually exclusive with fused_head")
+
+    def _sparse_loss(params, batch_stats, x, y, drop_rng):
+        if norm == "batch":
+            p = {"params": params, "batch_stats": batch_stats}
+            feats, updates = model.apply(
+                p, x, rngs={"dropout": drop_rng}, mutable=["batch_stats"],
+                method=type(model).features,
+            )  # (B, L, d)
+        else:
+            feats = model.apply(
+                {"params": params}, x, rngs={"dropout": drop_rng},
+                method=type(model).features,
+            )
+            updates = None
+        valid = y != -100
+        # top_k on the 0/1 mask → the (sorted) indices of the valid
+        # positions first (ties break toward lower index), then — if a row
+        # has fewer than K valid — leading invalid positions, whose labels
+        # are -100 and thus masked inside cross_entropy_loss: the selected
+        # valid set is exactly the full valid set, so loss and grads match
+        # the dense head bit-for-bit up to matmul tiling
+        _, pos = lax.top_k(valid.astype(jnp.int32), sparse_head_k)  # (B, K)
+        f_sel = jnp.take_along_axis(feats, pos[..., None], axis=1)
+        y_sel = jnp.take_along_axis(y, pos, axis=1)
+        dec = params["decoder"]
+        w = dec["kernel"].astype(f_sel.dtype)  # flax Dense dtype semantics
+        logits = f_sel @ w
+        if "bias" in dec:
+            logits = logits + dec["bias"].astype(f_sel.dtype)
+        return cross_entropy_loss(logits, y_sel), updates
 
     def _fused_loss(params, x, y, drop_rng):
         from ..ops.fused_xent import fused_softmax_xent
@@ -162,6 +207,11 @@ def make_train_block(
             def _loss(params):
                 if fused_head:
                     return _fused_loss(params, x, y, drop_rng), None
+                if sparse_head_k is not None:
+                    return _sparse_loss(
+                        params, state.batch_stats if norm == "batch" else None,
+                        x, y, drop_rng,
+                    )
                 if norm == "batch":
                     p = {"params": params, "batch_stats": state.batch_stats}
                     logits, updates = model.apply(

@@ -57,10 +57,14 @@ def main():
     data = put_dataset(ds.train_inputs, ds.train_labels)
 
     cfg, train_model, state, rng = _setup(model_cfg, ds, ds_cfg, batch_size=B)
+    from bench import _sparse_k
+
+    sparse_k = _sparse_k(ds)  # TLIE_SPARSE_HEAD=0 ablates the sparse head
     block = make_train_block(
         train_model, "layer", ("regular",), warmup=0,
         total_steps=10_000, cosine=True, lr_min=1e-6, fused_head=fused,
         fused_head_dtype="bfloat16" if fused else None,
+        sparse_head_k=None if fused else sparse_k,
     )
     idx = batch_indices(np.random.default_rng(0), len(ds.train_inputs), B, K)
     state, loss = block(state, rng, data, idx, 0, 0.01, 0.01)
@@ -75,7 +79,9 @@ def main():
     ms = min(t1 - t0, t2 - t1) / K * 1e3
     print(json.dumps({
         "metric": "mqar_block_roofline",
-        "variant": f"{family}_L{nl}_V{vocab}_K{K}" + ("_fused" if fused else ""),
+        "variant": f"{family}_L{nl}_V{vocab}_K{K}"
+        + ("_fused" if fused else "")
+        + ("_dense" if sparse_k is None else f"_sparse{sparse_k}"),
         "ms_per_step": round(ms, 3),
         "steps_per_sec": round(1e3 / ms, 2),
     }))
