@@ -537,6 +537,20 @@ def test_sparse_head_matches_dense(family):
     (sd, ld), (ss, ls) = outs[None], outs[k]
     assert np.isfinite(ls)
     assert abs(ls - ld) < 1e-5 + 1e-5 * abs(ld)
+
+    # eval block: CE and masked accuracy reduce over exactly the valid
+    # positions, so the sparse-head eval must be the identical number
+    from tlie_tpu.training.scan_loop import eval_indices, make_eval_block
+    from tlie_tpu.training.steps import compute_accuracy as acc_fn
+
+    _, eval_model, _ = build_models(cfg.model, False)
+    eidx = jnp.asarray(eval_indices(len(ds.train_inputs), 16)[:2])
+    ev_d = make_eval_block(eval_model, norm, acc_fn)
+    ev_s = make_eval_block(eval_model, norm, acc_fn, sparse_head_k=k)
+    ld_e, md_e = ev_d(sd, data, eidx)
+    ls_e, ms_e = ev_s(sd, data, eidx)
+    np.testing.assert_allclose(float(ls_e), float(ld_e), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(ms_e), float(md_e), rtol=1e-6, atol=1e-7)
     flat_d = jax.tree_util.tree_leaves(sd.params)
     flat_s = jax.tree_util.tree_leaves(ss.params)
     for a, b in zip(flat_d, flat_s):

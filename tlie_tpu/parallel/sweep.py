@@ -250,7 +250,7 @@ def _run_group(
         train_model, norm, group_names, warmup, total_steps, cosine, lr_min,
         sparse_head_k=sparse_k,
     )
-    evaluator = make_eval_block(eval_model, norm, metrics_fn)
+    evaluator = make_eval_block(eval_model, norm, metrics_fn, sparse_head_k=sparse_k)
 
     # vmap over the grid axis: per-point state and learning rates, shared data
     eval_idx_arr = jnp.asarray(eval_indices(len(dataset.test_inputs), bsz))

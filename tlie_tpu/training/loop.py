@@ -334,7 +334,9 @@ def train(
             print("[train] fused decoder+softmax-CE head enabled")
         if sparse_head_k is not None:
             print(f"[train] sparse decoder head: K={sparse_head_k} of L={seq_len}")
-        eval_block = make_eval_block(eval_model, norm, metrics_fn, mesh=mesh)
+        eval_block = make_eval_block(
+            eval_model, norm, metrics_fn, mesh=mesh, sparse_head_k=sparse_head_k
+        )
         eval_idx = eval_indices(len(testloader.inputs), bsz)
         nprng = np.random.default_rng(config.seed)
 

@@ -248,21 +248,41 @@ def make_train_block(
     return call
 
 
-def make_eval_block(model, norm: str, metrics_fn: Callable, mesh=None):
+def make_eval_block(
+    model, norm: str, metrics_fn: Callable, mesh=None,
+    sparse_head_k: Optional[int] = None,
+):
     """Build a jitted scanned evaluation over (n_batches, B)-indexed test
-    data → (mean_loss, mean_metric)."""
+    data → (mean_loss, mean_metric).
+
+    ``sparse_head_k``: same sparse decoder head as make_train_block — CE and
+    the masked metrics (accuracy/perplexity) reduce over exactly the valid
+    label positions, so evaluating only the gathered ≤K positions per row is
+    the identical number."""
 
     @jax.jit
     def run_eval(state, data: DeviceData, idx):
         def eval_body(_, idx_t):
             x, y = _gather_batch(data, idx_t)
             x, y = _shard_batch(x, y, mesh)
-            if norm == "batch":
-                logits = model.apply(
-                    {"params": state.params, "batch_stats": state.batch_stats}, x
+            variables = (
+                {"params": state.params, "batch_stats": state.batch_stats}
+                if norm == "batch" else {"params": state.params}
+            )
+            if sparse_head_k is not None:
+                feats = model.apply(
+                    variables, x, method=type(model).features
                 )
+                valid = y != -100
+                _, pos = lax.top_k(valid.astype(jnp.int32), sparse_head_k)
+                f_sel = jnp.take_along_axis(feats, pos[..., None], axis=1)
+                y = jnp.take_along_axis(y, pos, axis=1)
+                dec = state.params["decoder"]
+                logits = f_sel @ dec["kernel"].astype(f_sel.dtype)
+                if "bias" in dec:
+                    logits = logits + dec["bias"].astype(f_sel.dtype)
             else:
-                logits = model.apply({"params": state.params}, x)
+                logits = model.apply(variables, x)
             return None, (cross_entropy_loss(logits, y), metrics_fn(logits, y))
 
         _, (losses, metrics) = jax.lax.scan(eval_body, None, idx)
