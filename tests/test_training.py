@@ -560,3 +560,33 @@ def test_sparse_head_matches_dense(family):
                         jax.tree_util.tree_leaves(ss.batch_stats)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-4, atol=2e-5)
+
+
+def test_sparse_k_gating():
+    """bench._sparse_k / loop gating: K = dataset max valid count, enabled
+    only when labels are 2-D and ≥4× sparse."""
+    import importlib.util as iu
+    spec = iu.spec_from_file_location("bench", "bench.py")
+    bench = iu.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    class DS:
+        pass
+
+    ds = DS()
+    lab = np.full((10, 32), -100, np.int64)
+    lab[:, :4] = 7
+    lab[3, 4] = 1  # one row with 5 valid → K must be 5
+    ds.train_labels = lab
+    assert bench._sparse_k(ds) == 5
+
+    ds.train_labels = np.zeros((10, 32), np.int64)  # fully dense → disabled
+    assert bench._sparse_k(ds) is None
+
+    ds.train_labels = np.zeros((10,), np.int64)  # classification → disabled
+    assert bench._sparse_k(ds) is None
+
+    lab = np.full((4, 16), -100, np.int64)
+    lab[:, :5] = 1  # 5 of 16 valid → 5*4 > 16 → not sparse enough
+    ds.train_labels = lab
+    assert bench._sparse_k(ds) is None
