@@ -201,6 +201,25 @@ def test_cumulative_key_normalizer():
     n_ref = jnp.einsum("blhd,blhd->blh", q, jnp.cumsum(k, axis=1))
     np.testing.assert_allclose(n, n_ref, rtol=1e-5, atol=1e-5)
 
+    # fused path: the normalizer as the row-sum/prefix marginal of the
+    # chunked attention quantities must match the standalone cumsum oracle,
+    # and must not perturb the output
+    v = jax.random.uniform(jax.random.fold_in(key, 2), (1, 16, 2, 4))
+    with jax.default_matmul_precision("highest"):
+        y_plain = chunked_linear_attention(q, k, v, chunk=8)
+        y_fused, n_fused = chunked_linear_attention(
+            q, k, v, chunk=8, return_normalizer=True
+        )
+    np.testing.assert_allclose(n_fused, n_ref, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(y_fused, y_plain, rtol=1e-6, atol=1e-6)
+
+    # eps guard: exact-zero rows get the epsilon fill
+    qz = q.at[:, 0].set(0.0)
+    _, nz = chunked_linear_attention(
+        qz, k, v, chunk=8, return_normalizer=True, eps=2e-23
+    )
+    assert float(nz[0, 0, 0]) == pytest.approx(2e-23)
+
 
 def test_softmax_attention_matches_reference_math():
     """XLA path vs explicit additive-mask softmax (ref models/attention.py:12-35)."""

@@ -27,10 +27,7 @@ import numpy as np
 from flax import linen as nn
 
 from ..ops.attention import causal_softmax_attention
-from ..ops.linear_attention import (
-    chunked_linear_attention,
-    cumulative_key_normalizer,
-)
+from ..ops.linear_attention import chunked_linear_attention
 from .layers import DepthwiseCausalConv, torch_linear_init
 
 
@@ -123,8 +120,11 @@ class MHA(nn.Module):
         if self.lin_att:
             q = jax.nn.elu(q) + 1
             k = jax.nn.elu(k) + 1
-            num = chunked_linear_attention(q, k, v, scale=1.0)
-            n = cumulative_key_normalizer(q, k)
+            # fused normalizer: n_t = q_t·Σk is the row-sum/prefix marginal
+            # of the chunked quantities the output needs anyway — one pass
+            num, n = chunked_linear_attention(
+                q, k, v, scale=1.0, return_normalizer=True
+            )
             context = num / n[..., None]
             context = nn.Dropout(self.dropout, deterministic=self.deterministic)(
                 context

@@ -57,9 +57,19 @@ def chunked_linear_attention(
     v: jax.Array,
     scale: float = 1.0,
     chunk: int = _DEFAULT_CHUNK,
-) -> jax.Array:
+    return_normalizer: bool = False,
+    eps: Optional[float] = None,
+):
     """Chunked causal linear attention (counterpart of ``chunk_simple_gla``
-    with no decay)."""
+    with no decay).
+
+    ``return_normalizer=True`` additionally returns n_t = q_t · Σ_{s≤t} k_s
+    (the denominator of ref models/attention.py:77-79) as a (B, L, H) f32
+    array, computed from the SAME chunked quantities the output already
+    needs — the intra-chunk part is a row-sum of the masked score matrix,
+    the inter-chunk part a contraction with the prefix k-sums (the Dv=1
+    marginal of S_prefix) — so the standalone normalizer pass (a second
+    qk matmul + an O(L) cumsum over the (B, L, H, Dk) keys) disappears."""
     B, L, H, Dk = q.shape
     Dv = v.shape[-1]
     if L % chunk != 0:
@@ -85,7 +95,19 @@ def chunked_linear_attention(
     S_prefix = (jnp.cumsum(S, axis=1) - S).astype(q.dtype)  # exclusive
     y_inter = jnp.einsum("bcihd,bchde->bcihe", qc, S_prefix)
 
-    return (y_intra + y_inter).reshape(B, L, H, Dv)
+    y = (y_intra + y_inter).reshape(B, L, H, Dv)
+    if not return_normalizer:
+        return y
+
+    f32 = jnp.promote_types(k.dtype, jnp.float32)
+    n_intra = att.astype(f32).sum(axis=-1)  # (B, C, H, Q_i): Σ_j masked q·k
+    k_sum = kc.astype(f32).sum(axis=2)  # (B, C, H, Dk) per-chunk key totals
+    k_prefix = jnp.cumsum(k_sum, axis=1) - k_sum  # exclusive
+    n_inter = jnp.einsum("bcihd,bchd->bchi", qc.astype(f32), k_prefix)
+    n = jnp.moveaxis(n_intra + n_inter, -1, 2).reshape(B, L, H)  # (B,C,Q,H)
+    if eps is not None:
+        n = jnp.where(n == 0, jnp.full((), eps, n.dtype), n)
+    return y, n
 
 
 def cumulative_key_normalizer(
