@@ -21,7 +21,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-DEPTH = int(sys.argv[1]) if len(sys.argv) > 1 else 24
+DEPTH = int(sys.argv[1]) if len(sys.argv) > 1 else 128
 B, L, D = 64, 512, 128
 
 
@@ -58,6 +58,12 @@ def main():
 
     # layernorm (pre-norm branch)
     wn = {"s": jnp.ones((D,), jnp.float32), "b": jnp.zeros((D,), jnp.float32)}
+
+    # dispatch floor: a depth-deep chain of scale-by-param — measures the
+    # tunnel RTT + per-application read/write floor that every row below
+    # carries; subtract it mentally before comparing ops (at depth 24 the
+    # floor was ~1.4 ms/application: pure tunnel, see RESULTS round 4)
+    timeit("floor_scale_ms", nested_grad(lambda p, x: x * p["s"][0]), wn, x)
 
     def ln(p, x):
         mu = x.mean(-1, keepdims=True)
