@@ -67,6 +67,22 @@ def _traced_lr(step, base_lr, warmup: int, total: int, cosine: bool, lr_min: flo
     return jnp.where(step < warmup, warm, after)
 
 
+def _rbg_key(rng):
+    """Dropout base key on the TPU hardware RNG (``rbg`` impl).
+
+    Generating a Bernoulli mask for a (64, 512, 128) activation with the
+    default threefry stream measured ~2 ms per application on chip
+    (tools/profile_lin_block_ops.py, round 4) — the single most expensive
+    op in the lin-attention block.  The XLA RngBitGenerator path is ~an
+    order of magnitude cheaper.  The dropout STREAM is not a parity
+    surface (the reference's torch stream differs anyway); only the
+    Bernoulli(1−p) marginal matters, which is identical."""
+    data = rng if rng.dtype == jnp.uint32 else jax.random.key_data(rng)
+    return jax.random.wrap_key_data(
+        jnp.tile(data.reshape(-1), 2)[:4].astype(jnp.uint32), impl="rbg"
+    )
+
+
 def _gather_batch(data: DeviceData, idx_t):
     x = jnp.take(data.inputs, idx_t, axis=0)
     y = jnp.take(data.labels, idx_t, axis=0)
@@ -186,6 +202,8 @@ def make_train_block(
     # every caller rebinds the returned state, so the old buffers are dead
     @functools.partial(jax.jit, donate_argnums=(0,))
     def run_block(state, rng, data: DeviceData, idx, step0, lr, ssm_lr):
+        drop_base = _rbg_key(rng)
+
         def step_body(carry, idx_t):
             state, step = carry
             x, y = _gather_batch(data, idx_t)
@@ -202,7 +220,7 @@ def make_train_block(
             state = state.replace(
                 opt_state=set_group_learning_rates(state.opt_state, lrs)
             )
-            drop_rng = jax.random.fold_in(rng, step)
+            drop_rng = jax.random.fold_in(drop_base, step)
 
             def _loss(params):
                 if fused_head:
