@@ -68,6 +68,10 @@ def main():
     # layernorm (f32 params, promoted stats)
     wn = {"s": jnp.ones((D,), jnp.float32), "b": jnp.zeros((D,), jnp.float32)}
 
+    # dispatch floor: tunnel RTT / depth — subtract before reading any row
+    timeit("floor_scale_ms",
+           nested_grad(lambda p, x: x * p["s"][0].astype(x.dtype)), wn, x5)
+
     def ln(p, x):
         xf = x.astype(jnp.float32)
         mu = xf.mean(-1, keepdims=True)
