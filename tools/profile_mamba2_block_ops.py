@@ -57,7 +57,9 @@ def main():
     x = jax.random.normal(key, (B, L, D), jnp.float32)
     wn = {"s": jnp.ones((D,), jnp.float32), "b": jnp.zeros((D,), jnp.float32)}
 
-    timeit("floor_scale_ms", nested_grad(lambda p, x: x * p["s"][0]), wn, x)
+    # vector broadcast (not a scalar): a depth-long chain of scalar-grad
+    # accumulations overflowed scoped VMEM at depth 96 on v5e
+    timeit("floor_scale_ms", nested_grad(lambda p, x: x * p["s"]), wn, x)
 
     def ln(p, x):
         mu = x.mean(-1, keepdims=True)
