@@ -77,6 +77,13 @@ def _rbg_key(rng):
     order of magnitude cheaper.  The dropout STREAM is not a parity
     surface (the reference's torch stream differs anyway); only the
     Bernoulli(1−p) marginal matters, which is identical."""
+    import os
+
+    if os.environ.get("TLIE_DROPOUT_RNG", "rbg") != "rbg":
+        # A/B escape hatch: TLIE_DROPOUT_RNG=threefry restores the original
+        # stream (read at trace time).  Marginal MQAR points can flip under
+        # a different dropout stream — the task's recall transition is sharp
+        return rng
     data = rng if rng.dtype == jnp.uint32 else jax.random.key_data(rng)
     return jax.random.wrap_key_data(
         jnp.tile(data.reshape(-1), 2)[:4].astype(jnp.uint32), impl="rbg"
