@@ -41,10 +41,13 @@ def main():
     nl = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     vocab = int(sys.argv[4]) if len(sys.argv) > 4 else 8192
     fused = len(sys.argv) > 5 and sys.argv[5] == "fused"
+    bf16 = "bf16" in sys.argv[5:]  # opt-in model.compute_dtype mode
     B = 64
 
     model_cfg = dict(_LIN_ATT_MODEL if family == "lin" else _MAMBA2_MODEL)
     model_cfg["num_layers"] = nl
+    if bf16:
+        model_cfg["compute_dtype"] = "bfloat16"
     ds_cfg = dict(_MQAR_DATASET)
     if vocab != 8192:
         # MQAR token values are bounded by the generator's vocab; clip the
@@ -81,6 +84,7 @@ def main():
         "metric": "mqar_block_roofline",
         "variant": f"{family}_L{nl}_V{vocab}_K{K}"
         + ("_fused" if fused else "")
+        + ("_bf16" if bf16 else "")
         + ("_dense" if sparse_k is None else f"_sparse{sparse_k}"),
         "ms_per_step": round(ms, 3),
         "steps_per_sec": round(1e3 / ms, 2),
