@@ -5,15 +5,19 @@ sliced back to length L (ref models/mamba.py:98-105,130-133;
 models/attention.py:140-147; models/norm_attention.py:221-228) and of the
 ``causal_conv1d`` CUDA library.
 
-On TPU a short depthwise conv is purely bandwidth-bound; for the small
-kernel widths used here (K = 4) an unrolled shift-multiply-add lowers to a
-handful of fused VPU ops, which XLA folds into neighbouring elementwise work
-— no im2col, no conv layout shuffles.  A general ``lax.conv_general_dilated``
-path covers larger K.
+On TPU a short depthwise conv is purely bandwidth-bound.  XLA's native
+grouped convolution (``lax.conv_general_dilated`` with
+``feature_group_count=C``) is the default lowering: the round-4 on-chip A/B
+at the WikiText block shape (B8, L1024, C1536, K4, bf16, fwd+bwd) measured
+it ~3× cheaper per application than the unrolled shift-multiply-add this op
+previously used (0.12 vs 0.40 ms real, tools/profile_conv_lowering.py) —
+the unrolled form materialises K−1 shifted copies through its backward.
+``TLIE_CONV=unrolled`` restores the old lowering for A/B.
 """
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -41,7 +45,7 @@ def depthwise_causal_conv1d(
       (..., L, C) with y[t] = sum_k weight[k] * x[t - (K-1) + k] (+ bias).
     """
     K = weight.shape[0]
-    if K <= _UNROLL_MAX:
+    if K <= _UNROLL_MAX and os.environ.get("TLIE_CONV") == "unrolled":
         y = x * weight[K - 1]
         for k in range(K - 1):
             shift = K - 1 - k
