@@ -19,6 +19,7 @@ stopped (the reference loses the whole grid on a crash).
 
 from __future__ import annotations
 
+import copy
 import json
 import os
 import time
@@ -46,19 +47,27 @@ from ..training.state import (
 )
 from .mesh import default_mesh, replicate, shard_leading_axis
 
-# config keys that change array shapes (split the grid into compile groups)
-_SHAPE_KEYS = (
-    ("model", "num_layers"), ("model", "hidden_dim"), ("model", "state_dim"),
-    ("model", "num_heads"), ("model", "dim_conv"), ("model", "conv_dim"),
-    ("model", "expansion"), ("train", "batch_size"),
-)
+# Per-point quantities the stacked trainer genuinely threads through the
+# grid axis: the init/dropout seed and the two learning rates (injected as
+# dynamic scalars each block).  EVERYTHING else — wd, schedule, model
+# hyperparameters, … — is read once from the group leader, so two points may
+# share a compiled group only if their configs agree on every other key.
+# Grouping by the full masked config (rather than a fixed shape-key list)
+# makes ``--sweep_parallel`` correct for arbitrary sweep parameters: sweeping
+# e.g. ``train.wd`` or ``model.norm_fn`` simply yields one group per value,
+# each trained with its own config (reference serial semantics,
+# ref launch.py:19-49,167-178).
+_PER_POINT_KEYS = (("seed",), ("train", "lr"), ("train", "ssm_lr"))
 
 
-def _shape_signature(cfg: ExperimentConfig) -> Tuple:
-    sig = []
-    for section, key in _SHAPE_KEYS:
-        sig.append(cfg.raw.get(section, {}).get(key))
-    return tuple(sig)
+def _group_signature(cfg: ExperimentConfig) -> str:
+    masked = copy.deepcopy(cfg.raw)
+    for path in _PER_POINT_KEYS:
+        node = masked
+        for key in path[:-1]:
+            node = node.get(key, {})
+        node.pop(path[-1], None)
+    return json.dumps(masked, sort_keys=True, default=str)
 
 
 def _journal_path(cfg: ExperimentConfig) -> str:
@@ -152,10 +161,15 @@ def run_sweep_on_mesh(
 
     journal_path = _journal_path(base)
     done = _load_journal(journal_path)
+    # the reference-parity checkpoint name embeds seed/layers/conv/state_dim
+    # + perf but NOT every swept param (ref train.py:711-715), so two points
+    # (e.g. a wd sweep) with equal perf would silently overwrite each other;
+    # disambiguate collisions within a sweep run with a -pN suffix
+    used_paths = {r.get("path") for r in done.values() if r.get("path")}
 
-    groups: Dict[Tuple, List[int]] = {}
+    groups: Dict[str, List[int]] = {}
     for i, c in enumerate(cfgs):
-        groups.setdefault(_shape_signature(c), []).append(i)
+        groups.setdefault(_group_signature(c), []).append(i)
 
     results: List[Tuple[Optional[str], float]] = [(None, 0.0)] * len(points)
 
@@ -175,7 +189,7 @@ def run_sweep_on_mesh(
             _run_group(
                 base, cfgs, points, pending[w0 : w0 + wave], dataset,
                 metrics_fn, mesh, n_dev, results, journal_path,
-                wandb_config, conf_args,
+                wandb_config, conf_args, used_paths,
             )
 
     return results
@@ -183,7 +197,7 @@ def run_sweep_on_mesh(
 
 def _run_group(
     base, cfgs, points, members, dataset, metrics_fn, mesh, n_dev,
-    results, journal_path, wandb_config, conf_args,
+    results, journal_path, wandb_config, conf_args, used_paths=None,
 ):
     g_real = len(members)
     # pad the grid to a multiple of the device count
@@ -233,36 +247,35 @@ def _run_group(
     group_names = tuple(sorted(state.opt_state.inner_states.keys()))
     # sparse decoder head (see training/loop.py): gather the ≤K valid label
     # positions before the decoder matmul when labels are mostly -100 (MQAR);
-    # identical loss/grads, vocab path shrinks by L/K per grid point
+    # identical loss/grads, vocab path shrinks by L/K per grid point.
+    # K covers train ∪ test (shared helper, scan_loop.sparse_head_k_for).
     sparse_k = None
-    m0 = cfg0.model
-    per_pos = (
-        not m0.get("classifier", False)
-        and not m0.get("dual", False)
-        and (m0["layer"] == "transformer" or m0.get("pooling") == "none")
-    )
-    labels_np = np.asarray(dataset.train_labels)
-    if train_config.get("sparse_head", True) and per_pos and labels_np.ndim == 2:
-        kmax = int((labels_np != -100).sum(axis=1).max())
-        if 0 < kmax * 4 <= labels_np.shape[1]:
-            sparse_k = kmax
+    if train_config.get("sparse_head", True):
+        from ..training.scan_loop import sparse_head_k_for
+
+        sparse_k = sparse_head_k_for(
+            cfg0.model, dataset.train_labels, dataset.test_labels
+        )
     block = make_train_block(
         train_model, norm, group_names, warmup, total_steps, cosine, lr_min,
         sparse_head_k=sparse_k,
     )
     evaluator = make_eval_block(eval_model, norm, metrics_fn, sparse_head_k=sparse_k)
 
-    # vmap over the grid axis: per-point state and learning rates, shared data
-    eval_idx_arr = jnp.asarray(eval_indices(len(dataset.test_inputs), bsz))
-    # data/test are explicit broadcast arguments (in_axes=None): closing over
-    # them would bake the whole dataset into the serialized program as
+    # vmap over the grid axis: per-point state, learning rates AND batch
+    # index streams (each point samples batches from its own seed-derived
+    # host rng, exactly as the serial loop does — the per-point gather from
+    # the shared device-resident dataset is noise next to the train step);
+    # the dataset itself is a broadcast argument (in_axes=None): closing
+    # over it would bake the whole split into the serialized program as
     # constants (hundreds of MB through the remote-compile channel)
+    eval_idx_arr = jnp.asarray(eval_indices(len(dataset.test_inputs), bsz))
     # the stacked grid state is donated: per-point params + moments update in
     # place (the grid axis multiplies the state footprint by points/device)
     vblock = jax.jit(
         jax.vmap(
             lambda st, rng, d, idx, step0, lr, slr: block(st, rng, d, idx, step0, lr, slr),
-            in_axes=(0, 0, None, None, None, 0, 0),
+            in_axes=(0, 0, None, 0, None, 0, 0),
         ),
         donate_argnums=(0,),
     )
@@ -270,8 +283,18 @@ def _run_group(
         jax.vmap(lambda st, t, ei: evaluator(st, t, ei), in_axes=(0, None, None))
     )
 
-    nprng = np.random.default_rng(base.seed)
-    rngs = jax.vmap(jax.random.PRNGKey)(jnp.arange(g, dtype=jnp.uint32))
+    # Per-point rng streams derived exactly as the serial loop derives them
+    # (training/loop.py::_make_state: ``init_rng, train_rng = split(PRNGKey(seed))``,
+    # then one ``train_rng, block_rng = split(train_rng)`` per eval period;
+    # and a per-point ``np.random.default_rng(seed)`` host batch-index
+    # stream) — so every point's dropout draws AND data order depend only on
+    # its own seed, never on grid slot or wave membership, and each point
+    # reproduces its serial run up to vmap float reassociation.
+    nprngs = [np.random.default_rng(cfgs[i].seed) for i in idx_members]
+    train_rngs = jax.jit(jax.vmap(
+        lambda s: jax.random.split(jax.random.PRNGKey(s))[1]
+    ))(jnp.asarray(seeds, dtype=jnp.uint32))
+    vsplit = jax.jit(jax.vmap(lambda k: jax.random.split(k)))
 
     lrs = jnp.asarray(lrs0)
     ssm_lrs = jnp.asarray(ssm_lrs0)
@@ -282,12 +305,16 @@ def _run_group(
 
     while step < total_steps and active.any():
         k = int(min(eval_every, total_steps - step))
-        idx = jnp.asarray(batch_indices(nprng, len(dataset.train_inputs), bsz, k))
+        idx = jnp.asarray(np.stack([
+            batch_indices(r, len(dataset.train_inputs), bsz, k) for r in nprngs
+        ]))  # (g, k, B): per-point seed-derived batch streams
         # frozen points step with lr 0: parameters stay fixed
         eff_lr = jnp.where(jnp.asarray(active), lrs, 0.0)
         eff_slr = jnp.where(jnp.asarray(active), ssm_lrs, 0.0)
+        keys = vsplit(train_rngs)
+        train_rngs, block_rngs = keys[:, 0], keys[:, 1]
         state, train_loss = vblock(
-            state, rngs, data, idx, jnp.asarray(step), eff_lr, eff_slr
+            state, block_rngs, data, idx, jnp.asarray(step), eff_lr, eff_slr
         )
         step += k
         losses, perf_now = veval(state, test, eval_idx_arr)
@@ -318,6 +345,12 @@ def _run_group(
                 "data": dict(cfg_i.dataset),
             }
             path = ckpt + f"-perf{perf:0.3f}"
+            if used_paths is not None:
+                n, stem = 1, path
+                while path in used_paths:
+                    path = f"{stem}-p{n}"
+                    n += 1
+                used_paths.add(path)
             save_checkpoint(path, point_state, cfg_tree)
         results[i] = (path, perf)
         with open(journal_path, "a") as f:
