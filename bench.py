@@ -86,16 +86,15 @@ _WT_MAMBA2_MODEL = {
 }
 
 
-def _sparse_k(ds):
-    """Sparse-head K for a device dataset (see training/loop.py gating):
-    dataset-wide max count of non-ignored labels per row, when sparse."""
+def _sparse_k(model_cfg, ds):
+    """Sparse-head K (shared gating helper, training/scan_loop.py):
+    per-position decoders with ≥4×-sparse 2-D labels, K over train ∪ test.
+    TLIE_SPARSE_HEAD=0 disables for A/B."""
     if os.environ.get("TLIE_SPARSE_HEAD", "1") == "0":
         return None
-    labels = np.asarray(ds.train_labels)
-    if labels.ndim != 2:
-        return None
-    kmax = int((labels != -100).sum(axis=1).max())
-    return kmax if 0 < kmax * 4 <= labels.shape[1] else None
+    from tlie_tpu.training.scan_loop import sparse_head_k_for
+
+    return sparse_head_k_for(model_cfg, ds.train_labels, ds.test_labels)
 
 
 def _setup(model_cfg, ds, ds_cfg=None, batch_size=64):
@@ -133,7 +132,7 @@ def _bench_train(model_cfg, ds, data, n_steps=200, ds_cfg=None, batch_size=64):
         # positions before the decoder when labels are mostly -100 — exact
         # same loss/grads, vocab path shrinks by L/K (8× at MQAR shapes).
         # TLIE_SPARSE_HEAD=0 disables for A/B.
-        sparse_head_k=_sparse_k(ds),
+        sparse_head_k=_sparse_k(model_cfg, ds),
     )
     nprng = np.random.default_rng(0)
     idx = batch_indices(nprng, len(ds.train_inputs), batch_size, n_steps)
@@ -184,7 +183,7 @@ def _bench_sweep_grid(ds, data, n_steps=100):
     block = make_train_block(
         train_model, "layer", ("regular",), warmup=0,
         total_steps=8_000, cosine=True, lr_min=1e-6,
-        sparse_head_k=_sparse_k(ds),
+        sparse_head_k=_sparse_k(_LIN_ATT_MODEL, ds),
     )
     vblock = jax.jit(jax.vmap(
         lambda st, rng, d, idx, s0, lr, slr: block(st, rng, d, idx, s0, lr, slr),

@@ -563,8 +563,48 @@ def test_sparse_head_matches_dense(family):
 
 
 def test_sparse_k_gating():
-    """bench._sparse_k / loop gating: K = dataset max valid count, enabled
-    only when labels are 2-D and ≥4× sparse."""
+    """sparse_head_k_for — the ONE gating helper shared by the training
+    loop, the mesh sweep and bench: K = max valid count over train ∪ test,
+    enabled only for per-position decoders with 2-D ≥4×-sparse labels."""
+    from tlie_tpu.training.scan_loop import sparse_head_k_for
+
+    per_pos_cfg = {"layer": "transformer", "classifier": False, "dual": False}
+
+    lab = np.full((10, 32), -100, np.int64)
+    lab[:, :4] = 7
+    lab[3, 4] = 1  # one row with 5 valid → K must be 5
+    assert sparse_head_k_for(per_pos_cfg, lab) == 5
+
+    # a TEST row denser than the train max must raise K — eval gathers
+    # top-K positions from test labels (round-4 advisor finding: K from the
+    # train split alone silently dropped the extra valid positions)
+    te = np.full((6, 32), -100, np.int64)
+    te[:, :7] = 2
+    assert sparse_head_k_for(per_pos_cfg, lab, te) == 7
+
+    # mismatched seq lengths across splits → disabled (can't share one K)
+    te_short = np.full((6, 16), -100, np.int64)
+    assert sparse_head_k_for(per_pos_cfg, lab, te_short) is None
+
+    # fully dense → disabled
+    assert sparse_head_k_for(per_pos_cfg, np.zeros((10, 32), np.int64)) is None
+
+    # classification labels → disabled
+    assert sparse_head_k_for(per_pos_cfg, np.zeros((10,), np.int64)) is None
+
+    # 5 of 16 valid → 5*4 > 16 → not sparse enough
+    lab = np.full((4, 16), -100, np.int64)
+    lab[:, :5] = 1
+    assert sparse_head_k_for(per_pos_cfg, lab) is None
+
+    # pooled / classifier / dual models are never per-position
+    assert sparse_head_k_for({"layer": "transformer", "classifier": True}, lab) is None
+    assert sparse_head_k_for({"layer": "mamba", "pooling": "mean"}, lab) is None
+    assert sparse_head_k_for(
+        {"layer": "transformer", "dual": True}, lab
+    ) is None
+
+    # bench's env-gated wrapper delegates to the same helper
     import importlib.util as iu
     spec = iu.spec_from_file_location("bench", "bench.py")
     bench = iu.module_from_spec(spec)
@@ -576,17 +616,6 @@ def test_sparse_k_gating():
     ds = DS()
     lab = np.full((10, 32), -100, np.int64)
     lab[:, :4] = 7
-    lab[3, 4] = 1  # one row with 5 valid → K must be 5
     ds.train_labels = lab
-    assert bench._sparse_k(ds) == 5
-
-    ds.train_labels = np.zeros((10, 32), np.int64)  # fully dense → disabled
-    assert bench._sparse_k(ds) is None
-
-    ds.train_labels = np.zeros((10,), np.int64)  # classification → disabled
-    assert bench._sparse_k(ds) is None
-
-    lab = np.full((4, 16), -100, np.int64)
-    lab[:, :5] = 1  # 5 of 16 valid → 5*4 > 16 → not sparse enough
-    ds.train_labels = lab
-    assert bench._sparse_k(ds) is None
+    ds.test_labels = lab
+    assert bench._sparse_k(per_pos_cfg, ds) == 4

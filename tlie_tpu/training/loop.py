@@ -231,6 +231,28 @@ def train(
                 )
         else:
             mesh = _data_mesh(bsz) if train_config.get("data_parallel", True) else None
+        # sequence parallelism: split the TIME axis of the model's
+        # recurrences (LRU/S5 scans, Mamba-1 selective scan) over a ``seq``
+        # mesh — long-context capability the reference has no story for
+        # (SURVEY.md §2.4).  Per-shard associative scans + one ICI
+        # all-gather of state summaries (parallel/sp.py).  Mutually
+        # exclusive with the data/model meshes (one mesh per program).
+        sp_n = int(train_config.get("sequence_parallel", 1))
+        sp_mesh = None
+        if sp_n > 1:
+            if mp > 1:
+                raise ValueError(
+                    "sequence_parallel and model_parallel are mutually exclusive"
+                )
+            if seq_len % sp_n != 0:
+                raise ValueError(
+                    f"seq_len {seq_len} not divisible by sequence_parallel {sp_n}"
+                )
+            from ..parallel.sp import seq_mesh
+
+            sp_mesh = seq_mesh(sp_n)
+            mesh = None
+            print(f"[train] sequence parallelism: time axis over {sp_n} devices")
         repl = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
@@ -307,20 +329,21 @@ def train(
         # positions before the decoder matmul.  Identical loss and grads
         # (masked positions have exactly zero logit-gradient), but the vocab
         # path (decoder matmuls + logits HBM traffic + CE) shrinks by L/K:
-        # 8× at the reference MQAR shapes.  K is the dataset-wide max valid
-        # count, so no valid position is ever dropped.
+        # 8× at the reference MQAR shapes.  K is the max valid count over
+        # train ∪ test, so no valid position is ever dropped (shared gating
+        # helper — see scan_loop.sparse_head_k_for).
         sparse_head_k = None
         if (
             train_config.get("sparse_head", True)
+            and lang_model
             and not fused_head
-            and per_pos
             and mp == 1
         ):
-            labels_np = np.asarray(trainloader.labels)
-            if labels_np.ndim == 2:
-                kmax = int((labels_np != -100).sum(axis=1).max())
-                if 0 < kmax * 4 <= seq_len:  # pay the gather only when sparse
-                    sparse_head_k = kmax
+            from .scan_loop import sparse_head_k_for
+
+            sparse_head_k = sparse_head_k_for(
+                model_config, trainloader.labels, testloader.labels
+            )
         train_block = make_train_block(
             train_model, norm, tuple(sorted(group_names)),
             warmup, total_steps, cosine, lr_min,
@@ -329,13 +352,15 @@ def train(
             mesh=mesh,
             fused_head_dtype=fused_head_dtype,
             sparse_head_k=sparse_head_k,
+            sp_mesh=sp_mesh,
         )
         if fused_head:
             print("[train] fused decoder+softmax-CE head enabled")
         if sparse_head_k is not None:
             print(f"[train] sparse decoder head: K={sparse_head_k} of L={seq_len}")
         eval_block = make_eval_block(
-            eval_model, norm, metrics_fn, mesh=mesh, sparse_head_k=sparse_head_k
+            eval_model, norm, metrics_fn, mesh=mesh, sparse_head_k=sparse_head_k,
+            sp_mesh=sp_mesh,
         )
         eval_idx = eval_indices(len(testloader.inputs), bsz)
         nprng = np.random.default_rng(config.seed)

@@ -28,6 +28,18 @@ from jax import lax
 from .state import set_group_learning_rates
 from .steps import cross_entropy_loss
 
+# Dropout stream impl, captured ONCE at import (flipping the env var
+# mid-process never affected already-traced blocks anyway — making the
+# capture import-time makes that explicit).  ``rbg`` rides the TPU hardware
+# RNG (~10× cheaper mask generation, see _rbg_key); note its bits are
+# implementation-defined per backend/XLA version AND under vmap, so a CPU
+# rerun — or a mesh-sweep rerun — of a TPU run with dropout>0 is not
+# stream-identical.  ``TLIE_DROPOUT_RNG=threefry`` restores the fully
+# deterministic, vmap-consistent stream.
+import os as _os
+
+_DROPOUT_RNG_IMPL = _os.environ.get("TLIE_DROPOUT_RNG", "rbg")
+
 
 class DeviceData(NamedTuple):
     inputs: jax.Array        # (N, L) tokens or (N, L, D) features
@@ -77,17 +89,56 @@ def _rbg_key(rng):
     order of magnitude cheaper.  The dropout STREAM is not a parity
     surface (the reference's torch stream differs anyway); only the
     Bernoulli(1−p) marginal matters, which is identical."""
-    import os
-
-    if os.environ.get("TLIE_DROPOUT_RNG", "rbg") != "rbg":
+    if _DROPOUT_RNG_IMPL != "rbg":
         # A/B escape hatch: TLIE_DROPOUT_RNG=threefry restores the original
-        # stream (read at trace time).  Marginal MQAR points can flip under
-        # a different dropout stream — the task's recall transition is sharp
+        # stream (captured at module import).  Marginal MQAR points can flip
+        # under a different dropout stream — the recall transition is sharp
         return rng
     data = rng if rng.dtype == jnp.uint32 else jax.random.key_data(rng)
     return jax.random.wrap_key_data(
         jnp.tile(data.reshape(-1), 2)[:4].astype(jnp.uint32), impl="rbg"
     )
+
+
+def sparse_head_k_for(
+    model_cfg, train_labels, test_labels=None
+) -> Optional[int]:
+    """Gate + K for the sparse decoder head, shared by the training loop,
+    the mesh sweep and bench (one source of truth — the three call sites
+    previously drifted).
+
+    Returns the number of feature positions to gather before the decoder
+    matmul, or ``None`` when the head doesn't apply.  Applies only to
+    per-position decoders (transformer ignores pooling when
+    ``classifier=False``, ref models/transformer.py:149-161; mamba/SSM
+    backbones are per-position only with ``pooling: none``), with 2-D
+    ``(B, L)`` labels that are ≥4× sparse in non-ignored (−100) entries.
+
+    K is the max valid count over BOTH splits: eval gathers top-K positions
+    from *test* labels, so a test row denser than the train max would
+    silently drop label positions from the metric if K came from the train
+    split alone."""
+    per_pos = (
+        not model_cfg.get("classifier", False)
+        and not model_cfg.get("dual", False)
+        and (
+            model_cfg.get("layer") == "transformer"
+            or model_cfg.get("pooling") == "none"
+        )
+    )
+    if not per_pos:
+        return None
+    tr = np.asarray(train_labels)
+    if tr.ndim != 2:
+        return None
+    kmax = int((tr != -100).sum(axis=1).max())
+    if test_labels is not None:
+        te = np.asarray(test_labels)
+        if te.ndim == 2:
+            if te.shape[1] != tr.shape[1]:
+                return None
+            kmax = max(kmax, int((te != -100).sum(axis=1).max()))
+    return kmax if 0 < kmax * 4 <= tr.shape[1] else None
 
 
 def _gather_batch(data: DeviceData, idx_t):
@@ -125,6 +176,7 @@ def make_train_block(
     mesh=None,
     fused_head_dtype=None,
     sparse_head_k: Optional[int] = None,
+    sp_mesh=None,
 ):
     """Build a jitted runner for K on-device training steps.
 
@@ -148,9 +200,24 @@ def make_train_block(
     be an upper bound on valid labels per row (the caller verifies against
     the dataset).  Mutually exclusive with ``fused_head``; per-position
     decoders only (no pooling/classifier/dual).
+
+    ``sp_mesh``: a ``seq``-axis mesh — the model's recurrences
+    (diag_linear_scan call sites: LRU/S5 scans, Mamba-1 selective scan) are
+    traced inside ``ops.scan.sequence_parallel``, splitting the TIME axis
+    across devices with one ICI all-gather of per-shard state summaries
+    (parallel/sp.py).  The config knob is ``train.sequence_parallel: N``.
     """
     if sparse_head_k is not None and fused_head:
         raise ValueError("sparse_head_k is mutually exclusive with fused_head")
+
+    import contextlib
+
+    def _sp_ctx():
+        if sp_mesh is None:
+            return contextlib.nullcontext()
+        from ..ops.scan import sequence_parallel
+
+        return sequence_parallel(sp_mesh)
 
     def _sparse_loss(params, batch_stats, x, y, drop_rng):
         if norm == "batch":
@@ -249,9 +316,10 @@ def make_train_block(
                     updates = None
                 return cross_entropy_loss(logits, y), updates
 
-            (loss, updates), grads = jax.value_and_grad(_loss, has_aux=True)(
-                state.params
-            )
+            with _sp_ctx():
+                (loss, updates), grads = jax.value_and_grad(_loss, has_aux=True)(
+                    state.params
+                )
             if norm == "batch":
                 state = state.apply_gradients(
                     grads=grads, batch_stats=updates["batch_stats"]
@@ -275,7 +343,7 @@ def make_train_block(
 
 def make_eval_block(
     model, norm: str, metrics_fn: Callable, mesh=None,
-    sparse_head_k: Optional[int] = None,
+    sparse_head_k: Optional[int] = None, sp_mesh=None,
 ):
     """Build a jitted scanned evaluation over (n_batches, B)-indexed test
     data → (mean_loss, mean_metric).
@@ -283,7 +351,15 @@ def make_eval_block(
     ``sparse_head_k``: same sparse decoder head as make_train_block — CE and
     the masked metrics (accuracy/perplexity) reduce over exactly the valid
     label positions, so evaluating only the gathered ≤K positions per row is
-    the identical number."""
+    the identical number.  ``sp_mesh``: see make_train_block."""
+    import contextlib
+
+    def _sp_ctx():
+        if sp_mesh is None:
+            return contextlib.nullcontext()
+        from ..ops.scan import sequence_parallel
+
+        return sequence_parallel(sp_mesh)
 
     @jax.jit
     def run_eval(state, data: DeviceData, idx):
@@ -295,9 +371,10 @@ def make_eval_block(
                 if norm == "batch" else {"params": state.params}
             )
             if sparse_head_k is not None:
-                feats = model.apply(
-                    variables, x, method=type(model).features
-                )
+                with _sp_ctx():
+                    feats = model.apply(
+                        variables, x, method=type(model).features
+                    )
                 valid = y != -100
                 _, pos = lax.top_k(valid.astype(jnp.int32), sparse_head_k)
                 f_sel = jnp.take_along_axis(feats, pos[..., None], axis=1)
@@ -307,7 +384,8 @@ def make_eval_block(
                 if "bias" in dec:
                     logits = logits + dec["bias"].astype(f_sel.dtype)
             else:
-                logits = model.apply(variables, x)
+                with _sp_ctx():
+                    logits = model.apply(variables, x)
             return None, (cross_entropy_loss(logits, y), metrics_fn(logits, y))
 
         _, (losses, metrics) = jax.lax.scan(eval_body, None, idx)
