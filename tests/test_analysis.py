@@ -118,6 +118,51 @@ def test_mamba2_lambda_closed_form():
     np.testing.assert_allclose(lam, lam_ref, rtol=1e-4, atol=1e-6)
 
 
+def test_mamba2_extraction_ngroups2_end_to_end():
+    """The full attention-family extraction path must honour config
+    ``ngroups``: grouped B/C shifts the dt slice offset in the in_proj
+    layout (ref models/mamba.py:124,137-143).  Regression for the round-4
+    hardcoded ``ngroups=1`` in analysis/eval_eig.py, which would silently
+    slice C-columns as dt for any grouped checkpoint."""
+    from tlie_tpu.analysis.eval_eig import (
+        _extract_attention_family, _make_collector,
+    )
+    from tlie_tpu.models.registry import build_models
+
+    g, n, heads, d = 2, 4, 2, 16
+    model_config = {
+        "layer": "mamba", "version": "mamba2", "pseudoLTI": False,
+        "input_dim": 1, "output_dim": 8, "hidden_dim": d, "state_dim": n,
+        "num_heads": heads, "num_layers": 2, "conv_dim": 4, "expansion": 1,
+        "dropout": 0.0, "glu": True, "norm": "layer", "prenorm": True,
+        "pooling": "none", "dual": False, "ngroups": g,
+        "token_embedding": True, "embedding": True, "vocab_size": 16,
+        "seq_len": 12,
+    }
+    _, eval_model, _ = build_models(model_config, padded=False)
+    x = jnp.asarray(np.random.RandomState(0).randint(0, 16, size=(3, 12)))
+    params = eval_model.init(jax.random.PRNGKey(1), x)["params"]
+    d_inner = d  # expansion 1
+    # in_proj width must reflect the grouped layout
+    assert params["blocks_0"]["mamba"]["in_proj"]["kernel"].shape[1] == (
+        d_inner + 2 * g * n + heads
+    )
+
+    eta = _extract_attention_family(eval_model, params, x, model_config)
+    assert eta.shape == (3, 12, heads, 2)
+
+    # float64 numpy oracle straight from the grouped in_proj layout
+    collector = _make_collector(eval_model, "mamba")
+    acts = [np.asarray(a, np.float64) for a in collector(params, x)]
+    for i in range(2):
+        mp = params[f"blocks_{i}"]["mamba"]
+        proj = acts[i] @ np.asarray(mp["in_proj"]["kernel"], np.float64)
+        dt = proj[..., d_inner + 2 * g * n :]
+        dt = np.log1p(np.exp(dt + np.asarray(mp["dt_bias"], np.float64)))
+        lam_ref = np.exp(dt * (-np.exp(np.asarray(mp["A_log"], np.float64))))
+        np.testing.assert_allclose(eta[..., i], lam_ref, rtol=1e-4, atol=1e-6)
+
+
 def test_lru_s5_closed_form_spectra():
     rng = np.random.RandomState(4)
     N = 16

@@ -48,6 +48,7 @@ from .extractors import (
     eig_att_norm,
     eig_att_softmax,
     eig_lru,
+    eig_mamba1,
     eig_mamba2,
     eig_mamba2_lti,
     eig_s4,
@@ -67,6 +68,7 @@ _j_mamba2 = jax.jit(
     eig_mamba2, static_argnames=("d_inner", "ngroups", "d_state", "nheads")
 )
 _j_mamba2_lti = jax.jit(eig_mamba2_lti, static_argnames=("nheads",))
+_j_mamba1 = jax.jit(eig_mamba1, static_argnames=("d_inner", "dt_rank"))
 _j_lru = jax.jit(eig_lru)
 _j_s5 = jax.jit(eig_s5)
 
@@ -160,7 +162,22 @@ def _extract_attention_family(
         h = acts[i]
         if family == "mamba":
             mp = lp["mamba"]
-            if pseudo_lti:
+            if model_config.get("version", "mamba2") == "mamba1":
+                d_inner = model_config.get("expansion", 2) * d_model
+                eta = _j_mamba1(
+                    h,
+                    jnp.asarray(mp["in_proj"]["kernel"]),
+                    jnp.asarray(mp["in_proj"].get("bias")) if "bias" in mp["in_proj"] else None,
+                    jnp.asarray(mp["conv1d"]["weight"]),
+                    jnp.asarray(mp["conv1d"]["bias"]),
+                    jnp.asarray(mp["x_proj"]["kernel"]),
+                    jnp.asarray(mp["dt_proj"]["kernel"]),
+                    jnp.asarray(mp["dt_proj"]["bias"]),
+                    jnp.asarray(mp["A_log"]),
+                    d_inner=d_inner,
+                    dt_rank=int(np.asarray(mp["dt_proj"]["kernel"]).shape[0]),
+                )
+            elif pseudo_lti:
                 eta = _j_mamba2_lti(h, jnp.asarray(mp["A"]), nheads=None)
             else:
                 d_inner = model_config.get("expansion", 1) * d_model
@@ -172,7 +189,9 @@ def _extract_attention_family(
                     jnp.asarray(mp["dt_bias"]),
                     jnp.asarray(mp["A_log"]),
                     d_inner=d_inner,
-                    ngroups=1,
+                    # grouped B/C shifts the dt slice offset in the in_proj
+                    # layout (ref models/mamba.py:124,137-143)
+                    ngroups=model_config.get("ngroups", 1),
                     d_state=model_config["state_dim"],
                     nheads=nheads,
                 )

@@ -131,6 +131,37 @@ def eig_mamba2(x, in_proj_kernel, in_proj_bias, dt_bias, A_log,
     return jnp.exp(dt * (-jnp.exp(A_log)))
 
 
+def eig_mamba1(
+    x, in_proj_kernel, in_proj_bias, conv_weight, conv_bias,
+    x_proj_kernel, dt_proj_kernel, dt_proj_bias, A_log,
+    d_inner: int, dt_rank: int,
+):
+    """λ_t = exp(Δ_t[d]·A[d,n]) for Mamba-1, flattened over the
+    (d_inner, d_state) lattice → (B, L, d_inner·N).
+
+    Capability beyond the reference: its analysis cannot extract Mamba-1
+    eigenvalues (ref analysis/eval_eig.py:176-190 assumes the SSD in_proj
+    layout).  Δ here is the layer's actual step — in_proj x-half → depthwise
+    causal conv → SiLU → x_proj dt-slice → dt_proj → softplus (the Mamba-1
+    compute path, models/mamba2.py::Mamba1)."""
+    from ..ops.conv import depthwise_causal_conv1d
+
+    proj = jnp.einsum("bld,dp->blp", x, in_proj_kernel, precision=_HI)
+    if in_proj_bias is not None:
+        proj = proj + in_proj_bias
+    xm = proj[..., :d_inner]
+    xm = jax.nn.silu(depthwise_causal_conv1d(xm, conv_weight, conv_bias))
+    dt_lr = jnp.einsum("bld,dr->blr", xm, x_proj_kernel, precision=_HI)[
+        ..., :dt_rank
+    ]
+    dt = jax.nn.softplus(
+        jnp.einsum("blr,rd->bld", dt_lr, dt_proj_kernel, precision=_HI)
+        + dt_proj_bias
+    )  # (B, L, d_inner)
+    lam = jnp.exp(dt[..., None] * (-jnp.exp(A_log)))  # (B, L, d_inner, N)
+    return lam.reshape(lam.shape[0], lam.shape[1], -1)
+
+
 def eig_mamba2_lti(x, A, nheads: Optional[int] = None):
     """λ = exp(β·A), β ≡ 1 (ref eval_eig.py:192-205); constant over (B, L).
     ``A`` is the per-head (nheads,) parameter; nheads defaults to its length."""

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from ..ops.scan import diag_linear_scan
 from ..ops.ssd import ssd_chunked_scan
 from .layers import (GLU, MATCH, DepthwiseCausalConv, TokenEmbeddings,
                      torch_linear_init)
@@ -245,6 +246,118 @@ class SSD_LTI(nn.Module):
         )(y)
 
 
+class Mamba1(nn.Module):
+    """Mamba-1 selective-scan layer (``version: "mamba1"``).
+
+    TPU-native counterpart of the reference's Mamba-1 branch
+    (ref models/mamba.py:304-305, which wraps ``mamba_ssm``'s torch Mamba-1
+    layer); the parameter layout and init distributions follow that layer:
+    ``in_proj`` → [x, z], depthwise causal ``conv1d`` + SiLU on x,
+    ``x_proj`` → [dt, B, C], low-rank ``dt_proj`` whose bias carries the
+    inverse-softplus log-uniform Δ init, S4D-real ``A_log`` = log(1..N) per
+    channel, y·SiLU(z) gate, ``out_proj``.
+
+    The recurrence h_t[d,n] = exp(Δ_t[d]·A[d,n])·h_{t-1}[d,n] +
+    Δ_t[d]·B_t[n]·x_t[d] is diagonal over the (d_inner, d_state) lattice but
+    — unlike SSD — A varies over the state axis, so there is no head-granular
+    matmul (MXU) form; the fused diagonal associative scan (ops/scan.py, the
+    K5 machinery with its Pallas TPU kernel) IS the native decomposition.
+    State lattice is materialised as (B, L, d_inner, d_state) f32: fine at
+    the eigen-spectroscopy model scales this family targets; very long
+    contexts should chunk over L.
+
+    The reference's own analysis cannot extract Mamba-1 eigenvalues (its
+    ``get_eig_mamba2`` assumes the SSD in_proj layout, ref
+    analysis/eval_eig.py:176-190); this framework's can — see
+    ``analysis/extractors.eig_mamba1``."""
+
+    d_model: int
+    d_state: int = 16
+    d_conv: int = 4
+    expand: int = 2
+    dt_rank: Optional[int] = None  # default ceil(d_model / 16), as mamba_ssm
+    dt_min: float = 0.001
+    dt_max: float = 0.1
+    dt_init_floor: float = 1e-4
+    bias: bool = False
+    deterministic: bool = True
+    dtype: Optional[Any] = None
+
+    @property
+    def d_inner(self):
+        return self.expand * self.d_model
+
+    @property
+    def rank(self):
+        return self.dt_rank or -(-self.d_model // 16)
+
+    @nn.compact
+    def __call__(self, u):
+        d_inner, n, r = self.d_inner, self.d_state, self.rank
+
+        xz = nn.Dense(
+            2 * d_inner, use_bias=self.bias, name="in_proj", dtype=self.dtype,
+            **torch_linear_init(self.d_model),
+        )(u)
+        x, z = jnp.split(xz, 2, axis=-1)
+
+        if self.d_conv > 0:
+            x = jax.nn.silu(
+                DepthwiseCausalConv(
+                    d_inner, self.d_conv, name="conv1d", dtype=self.dtype
+                )(x)
+            )
+
+        x_db = nn.Dense(
+            r + 2 * n, use_bias=False, name="x_proj", dtype=self.dtype,
+            **torch_linear_init(d_inner),
+        )(x)
+        dt_lr = x_db[..., :r]
+        B_mat = x_db[..., r : r + n]
+        C_mat = x_db[..., r + n :]
+
+        # dt_proj: kernel U(±rank^-1/2) (mamba_ssm dt_init="random"), bias =
+        # inverse-softplus of a log-uniform Δ sample; runs f32 regardless of
+        # compute dtype — the decay math is always full precision (as in SSD)
+        dt_std = r ** -0.5
+        dt = nn.Dense(
+            d_inner, use_bias=True, name="dt_proj",
+            kernel_init=lambda rng, shape, dtype=jnp.float32: jax.random.uniform(
+                rng, shape, dtype, minval=-dt_std, maxval=dt_std
+            ),
+            bias_init=lambda rng, shape, dtype=jnp.float32: _dt_bias_init(
+                rng, shape[0], self.dt_min, self.dt_max, self.dt_init_floor
+            ),
+        )(dt_lr.astype(jnp.float32))
+        dt = jax.nn.softplus(dt)  # (B, L, d_inner)
+
+        # S4D-real init: A[d, :] = -(1..N) for every channel
+        A_log = self.param(
+            "A_log",
+            lambda rng, shape: jnp.broadcast_to(
+                jnp.log(jnp.arange(1, n + 1, dtype=jnp.float32)), shape
+            ),
+            (d_inner, n),
+        )
+        D = self.param("D", nn.initializers.ones, (d_inner,))
+
+        a = jnp.exp(dt[..., None] * (-jnp.exp(A_log)))  # (B, L, d_inner, N)
+        bx = (dt * x.astype(jnp.float32))[..., None] * B_mat.astype(
+            jnp.float32
+        )[..., None, :]
+        h = diag_linear_scan(a, bx, axis=1)
+        y = jnp.einsum("bldn,bln->bld", h, C_mat.astype(jnp.float32))
+        y = y + D * x.astype(jnp.float32)
+        y = y * jax.nn.silu(z.astype(jnp.float32))
+        if self.dtype is not None:
+            y = y.astype(self.dtype)
+
+        return nn.Dense(
+            self.d_model, use_bias=self.bias, name="out_proj", dtype=self.dtype,
+            **torch_linear_init(d_inner),
+        )(y)
+
+
 class MambaBlock(nn.Module):
     """Residual block: [norm] → mamba → GELU → [GLU] → residual → [norm]
     (ref models/mamba.py:301-340)."""
@@ -260,6 +373,7 @@ class MambaBlock(nn.Module):
     norm: str
     prenorm: bool
     pseudoLTI: bool
+    ngroups: int = 1
     chunk_size: Optional[int] = None
     dt_limit: tuple = (0.0, float("inf"))
     learnable_init_states: bool = False
@@ -267,21 +381,34 @@ class MambaBlock(nn.Module):
     dtype: Optional[Any] = None
 
     def setup(self):
-        if self.version != "mamba2":
+        if self.version == "mamba1":
+            # ref models/mamba.py:304-305 (only d_model/d_state/d_conv/expand
+            # are forwarded to the Mamba-1 layer there too)
+            self.mamba = Mamba1(
+                d_model=self.hidden_dim,
+                d_state=self.state_dim,
+                d_conv=self.conv_dim,
+                expand=self.expansion,
+                deterministic=self.deterministic,
+                dtype=self.dtype,
+            )
+        elif self.version == "mamba2":
+            cls = SSD_LTI if self.pseudoLTI else SSD
+            self.mamba = cls(
+                d_model=self.hidden_dim,
+                d_state=self.state_dim,
+                d_conv=self.conv_dim,
+                expand=self.expansion,
+                headdim=self.headdim,
+                ngroups=self.ngroups,
+                chunk_size=self.chunk_size,
+                dt_limit=self.dt_limit,
+                learnable_init_states=self.learnable_init_states,
+                deterministic=self.deterministic,
+                dtype=self.dtype,
+            )
+        else:
             raise RuntimeError(f"Non supported version {self.version}")
-        cls = SSD_LTI if self.pseudoLTI else SSD
-        self.mamba = cls(
-            d_model=self.hidden_dim,
-            d_state=self.state_dim,
-            d_conv=self.conv_dim,
-            expand=self.expansion,
-            headdim=self.headdim,
-            chunk_size=self.chunk_size,
-            dt_limit=self.dt_limit,
-            learnable_init_states=self.learnable_init_states,
-            deterministic=self.deterministic,
-            dtype=self.dtype,
-        )
         self.glu_layer = (
             GLU(deterministic=self.deterministic, dtype=self.dtype)
             if self.glu
@@ -343,6 +470,7 @@ class Mamba(nn.Module):
                 norm=cfg["norm"],
                 prenorm=cfg["prenorm"],
                 pseudoLTI=cfg.get("pseudoLTI", False),
+                ngroups=cfg.get("ngroups", 1),
                 chunk_size=cfg.get("chunk_size"),
                 dt_limit=tuple(cfg.get("dt_limit", (0.0, float("inf")))),
                 learnable_init_states=cfg.get("learnable_init_states", False),
