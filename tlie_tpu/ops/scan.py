@@ -102,6 +102,37 @@ def _scan_associative_pair(a, b, axis, reverse):
     return (out[2], out[3])
 
 
+# Sequence-parallel routing: when set (via ``sequence_parallel``), every
+# diag_linear_scan traced in the region runs the device-mesh scan of
+# parallel/sp.py instead of the single-device kernels — the config knob
+# ``train.sequence_parallel: N`` (training/loop.py) enters this context
+# around the model forward/backward trace.
+_SP_STATE = None
+
+
+class sequence_parallel:
+    """Context manager: route diag_linear_scan over a ``seq`` device mesh.
+
+    >>> with sequence_parallel(mesh):
+    ...     y = model.apply(params, x)   # recurrences now span the mesh
+    """
+
+    def __init__(self, mesh, axis_name: str = "seq"):
+        self.state = (mesh, axis_name)
+        self._prev = None
+
+    def __enter__(self):
+        global _SP_STATE
+        self._prev = _SP_STATE
+        _SP_STATE = self.state
+        return self
+
+    def __exit__(self, *exc):
+        global _SP_STATE
+        _SP_STATE = self._prev
+        return False
+
+
 def diag_linear_scan(
     a: ArrayOrPair,
     b: ArrayOrPair,
@@ -126,6 +157,14 @@ def diag_linear_scan(
       pairs/complex-split, else a real array; complex-array inputs return a
       complex array.
     """
+    if _SP_STATE is not None:
+        from ..parallel.sp import sp_diag_linear_scan
+
+        mesh, axis_name = _SP_STATE
+        return sp_diag_linear_scan(
+            a, b, mesh, axis=axis, axis_name=axis_name, reverse=reverse
+        )
+
     want_complex_array = False
     ndim = max((a[0] if _is_pair(a) else a).ndim, (b[0] if _is_pair(b) else b).ndim)
     if axis < 0:

@@ -83,11 +83,25 @@ def sp_diag_linear_scan(
     *,
     axis: int = -2,
     axis_name: str = "seq",
+    reverse: bool = False,
 ) -> ArrayOrPair:
     """``diag_linear_scan`` with the time axis sharded over ``mesh``'s
     ``axis_name`` axis.  Accepts/returns the same array-or-(re, im)-pair
     types as the single-device op; the time length must divide the axis
-    size.  Call under ``jax.jit`` for a single fused SPMD program."""
+    size.  Call under ``jax.jit`` for a single fused SPMD program.
+
+    ``reverse=True`` (bidirectional S5, ref models/s5.py:84-88) flips the
+    inputs/outputs around the forward mesh scan — the inclusive
+    right-to-left scan identity."""
+    if reverse:
+        flip = lambda t: (
+            (jnp.flip(t[0], axis), jnp.flip(t[1], axis))
+            if _is_pair(t) else jnp.flip(t, axis)
+        )
+        out = sp_diag_linear_scan(
+            flip(a), flip(b), mesh, axis=axis, axis_name=axis_name
+        )
+        return flip(out)
     try:
         from jax import shard_map
     except ImportError:  # pre-0.8 JAX
