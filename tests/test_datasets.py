@@ -252,3 +252,90 @@ def test_pathfinder_synthetic_pipeline():
     assert set(np.unique(ds.train_labels)) <= {0, 1}
     # centered pixels
     assert ds.train_inputs.min() >= -0.5 and ds.train_inputs.max() <= 0.5
+
+
+def test_speechcommands_synthetic_raw_and_mfcc():
+    """SpeechCommands (ref dataloaders/basic.py:216-281 — a broken stub
+    there; functional here): raw / MFCC / dropped-mask featurizations."""
+    from tlie_tpu.data import SpeechCommands
+
+    ds = SpeechCommands(
+        _name_="sc", length=2000, synthetic=True,
+        synthetic_train=20, synthetic_test=10,
+    )
+    ds.setup()
+    assert ds.train_inputs.shape == (20, 2000, 1)
+    assert ds.l_max == 2000 and ds.d_output == 10 and ds.d_input == 1
+    assert set(np.unique(ds.train_labels)) <= set(range(10))
+    # standardized waveforms
+    assert abs(float(ds.train_inputs[0].mean())) < 1e-4
+
+    mf = SpeechCommands(
+        _name_="sc", mfcc=True, length=16000, synthetic=True,
+        synthetic_train=12, synthetic_test=6,
+    )
+    mf.setup()
+    assert mf.train_inputs.shape == (12, 161, 20)  # 16 kHz → 161 frames
+    assert mf.l_max == 161 and mf.d_input == 20
+
+    dr = SpeechCommands(
+        _name_="sc", length=1000, dropped_rate=0.2, synthetic=True,
+        synthetic_train=8, synthetic_test=4,
+    )
+    dr.setup()
+    assert dr.train_inputs.shape == (8, 1000, 2)  # mask channel appended
+    mask = dr.train_inputs[..., 1]
+    assert 0.1 < mask.mean() < 0.3
+    assert np.all(dr.train_inputs[..., 0][mask == 1.0] == 0.0)
+
+    # all_classes surface
+    assert SpeechCommands(_name_="sc", all_classes=True).d_output == 35
+
+
+def test_speechcommands_synthetic_classes_are_separable():
+    """The synthetic keywords must be class-conditional (learnable): mean
+    spectra of different classes differ far more than within-class."""
+    from tlie_tpu.data import SpeechCommands
+
+    ds = SpeechCommands(
+        _name_="sc", length=2000, synthetic=True,
+        synthetic_train=40, synthetic_test=10,
+    )
+    ds.setup()
+    specs = np.abs(np.fft.rfft(ds.train_inputs[..., 0], axis=1))
+    c0 = specs[ds.train_labels == 0]
+    c1 = specs[ds.train_labels == 1]
+    within = np.linalg.norm(c0 - c0.mean(0), axis=1).mean()
+    between = np.linalg.norm(c0.mean(0) - c1.mean(0))
+    assert between > 2 * within
+
+
+def test_speechcommands_real_wav_tree_fixture(tmp_path):
+    """Google SC v0.02 directory-layout ingestion, pinned by a miniature
+    generated corpus: per-word wav dirs + testing_list.txt split."""
+    import wave as wavmod
+
+    from tlie_tpu.data import SpeechCommands
+    from tlie_tpu.data.speechcommands import SC10
+
+    rng = np.random.default_rng(0)
+    listed = []
+    for cls in SC10[:3]:
+        d = tmp_path / cls
+        d.mkdir()
+        for i in range(3):
+            x = (rng.normal(0, 0.2, 600) * 32767).astype("<i2")
+            with wavmod.open(str(d / f"u{i}.wav"), "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(16000)
+                w.writeframes(x.tobytes())
+        listed.append(f"{cls}/u2.wav")
+    (tmp_path / "testing_list.txt").write_text("\n".join(listed) + "\n")
+
+    ds = SpeechCommands(_name_="sc", data_dir=str(tmp_path), length=800)
+    ds.setup()
+    # 3 classes × 2 train (u0, u1) and × 1 test (u2, via testing_list)
+    assert ds.train_inputs.shape == (6, 800, 1)  # padded 600 → 800
+    assert ds.test_inputs.shape == (3, 800, 1)
+    assert sorted(np.unique(ds.test_labels)) == [0, 1, 2]

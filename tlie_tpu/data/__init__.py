@@ -24,5 +24,7 @@ from .wikitext import WikiText  # noqa: E402
 from .imdb import IMDB  # noqa: E402
 from .aan import AAN  # noqa: E402
 from .pathfinder import PathFinder  # noqa: E402
+from .speechcommands import SpeechCommands  # noqa: E402
 
-__all__ += ["CIFAR10", "MNIST", "ListOps", "WikiText", "IMDB", "AAN", "PathFinder"]
+__all__ += ["CIFAR10", "MNIST", "ListOps", "WikiText", "IMDB", "AAN",
+            "PathFinder", "SpeechCommands"]
