@@ -55,3 +55,50 @@ def test_init_spectra_match_golden(layer):
         )
     else:
         np.testing.assert_allclose(w, golden, atol=1e-5)
+
+
+# ----------------------------------------------------- attention families
+
+_ATT_BASE = {
+    "input_dim": 1, "output_dim": 32, "num_layers": 2, "hidden_dim": 16,
+    "state_dim": 8, "num_heads": 2, "att_dropout": 0.0, "norm": "layer",
+    "dropout": 0.0, "embedding": True, "vocab_size": 32, "max_pos_embed": 16,
+    "mixer": "none", "mixer_dim": 16, "classifier": False, "pooling": "none",
+    "dual": False, "seq_len": 16, "use_flash": False,
+}
+
+ATT_CASES = {
+    "sm": {"layer": "transformer", "attention_fn": "sm-attention", **_ATT_BASE},
+    "lin": {"layer": "transformer", "attention_fn": "lin-attention", **_ATT_BASE},
+    "norm": {
+        "layer": "transformer", "attention_fn": "norm-attention",
+        "mode": "attention", "norm_fn": "softplus", "approx_fn": "elu",
+        "scale_B": True, "offset": True, "offset_init": "exp",
+        "learn_A": False, "dim_conv": 4, **_ATT_BASE,
+    },
+    "mamba2": {
+        "layer": "mamba", "version": "mamba2", "conv_dim": 4, "expansion": 1,
+        "glu": True, "prenorm": True, "token_embedding": True, **_ATT_BASE,
+    },
+}
+
+
+def _att_spectra(fam):
+    from tlie_tpu.analysis.eval_eig import _extract_attention_family
+    from tlie_tpu.models.registry import build_models
+
+    mc = dict(ATT_CASES[fam])
+    _, eval_model, _ = build_models(mc, padded=False)
+    x = jnp.asarray(np.random.RandomState(99).randint(0, 32, size=(2, 16)))
+    params = eval_model.init(jax.random.PRNGKey(4321), x)["params"]
+    return _extract_attention_family(eval_model, params, x, mc)
+
+
+@pytest.mark.parametrize("fam", ["sm", "lin", "norm", "mamba2"])
+def test_attention_init_spectra_match_golden(fam):
+    """η goldens for the four torch-side families (completes SURVEY §4.5):
+    extractor or init regressions in sm/lin/norm/mamba2 fail loudly, like
+    the lru/s5/s4 set above."""
+    w = _att_spectra(fam)
+    golden = np.load(GOLDEN / f"att_{fam}_init_spectra.npy")
+    np.testing.assert_allclose(w, golden, atol=1e-5)

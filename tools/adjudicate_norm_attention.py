@@ -1,0 +1,321 @@
+"""Adjudicate the norm-attention MQAR 0.99 gate against the LIVE reference.
+
+VERDICT r4 weak #2 / item 2: our norm-attention probes converge at ~0.955
+recall vs the reference config's ``stop_criterion: 0.99``
+(/root/reference/configs/iclr2026/mqar/mqar-norm-attention-conv.yaml), and
+the reference publishes no accuracy numbers.  This harness runs the
+reference's OWN ``train_torch_step`` (/root/reference/train.py:36-221) on
+CPU at a matched-but-reduced MQAR config, side-by-side with this
+framework's trainer on IDENTICAL data, and records both learning curves.
+
+Reference-semantics notes discovered while building this (see the report):
+  * ``train_torch_step`` reads ONLY ``warmup_steps`` — the reference MQAR
+    configs carry ``warmup:``, so the reference trains these tasks with NO
+    warmup scheduler at all (ref train.py:69-72), while our loop falls back
+    to the ``warmup`` key (training/loop.py).
+  * its cosine anneal hardcodes ``eta_min=5e-6`` (ref train.py:66); our
+    default lr_min is 1e-6.
+  * it clips grad-norm at 1.0 — ours does the same for torch families.
+
+Usage:
+  python tools/adjudicate_norm_attention.py [--steps 8000] [--lr 1e-3]
+      [--seq 128] [--kv 8] [--vocab 1024] [--out /tmp/adjudicate.json]
+      [--side both|ref|ours] [--warmup_ours N]
+
+Stubs CUDA-only reference deps (mamba_ssm, flash_attn) and absent logging
+deps (wandb, pytorch_warmup — the warmup stub reproduces pytorch_warmup's
+LinearWarmup dampening semantics exactly, though the reference path never
+constructs it for these configs).  ``.to("cuda")`` is rewritten to CPU.
+"""
+
+from __future__ import annotations
+
+import argparse
+import contextlib
+import json
+import sys
+import time
+import types
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+REF = Path("/root/reference")
+sys.path.insert(0, str(REPO))
+
+
+def _stub_module(name, **attrs):
+    mod = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    sys.modules[name] = mod
+    return mod
+
+
+def _install_stubs():
+    def _unavailable(*a, **k):
+        raise RuntimeError("CUDA-only stub called — config should not reach it")
+
+    _stub_module("mamba_ssm", Mamba=_unavailable)
+    _stub_module("mamba_ssm.ops")
+    _stub_module(
+        "mamba_ssm.ops.selective_scan_interface", selective_scan_fn=_unavailable
+    )
+    _stub_module("mamba_ssm.ops.triton")
+    _stub_module(
+        "mamba_ssm.ops.triton.layernorm_gated", RMSNorm=None, LayerNorm=None
+    )
+    _stub_module(
+        "mamba_ssm.ops.triton.ssd_combined",
+        mamba_chunk_scan_combined=_unavailable,
+        mamba_split_conv1d_scan_combined=_unavailable,
+    )
+    _stub_module("flash_attn", flash_attn_qkvpacked_func=_unavailable)
+    _stub_module("fla")
+    _stub_module("fla.ops")
+    _stub_module(
+        "fla.ops.simple_gla",
+        chunk_simple_gla=_unavailable,
+        fused_recurrent_simple_gla=_unavailable,
+    )
+
+    class _W:
+        def __getattr__(self, k):
+            return lambda *a, **kw: None
+
+    sys.modules["wandb"] = _W()  # type: ignore[assignment]
+    sys.modules["wandb"].__spec__ = None  # type: ignore[attr-defined]
+
+    class LinearWarmup:
+        """pytorch_warmup.LinearWarmup semantics: lr *= min(1, t/period)
+        around the inner scheduler step (un-dampen → step → re-dampen)."""
+
+        def __init__(self, optimizer, warmup_period):
+            self.opt = optimizer
+            self.period = max(1, int(warmup_period))
+            self.t = 0
+            self.factor = 1.0
+
+        @contextlib.contextmanager
+        def dampening(self):
+            for g in self.opt.param_groups:
+                g["lr"] /= self.factor
+            yield
+            self.t += 1
+            self.factor = min(1.0, self.t / self.period)
+            for g in self.opt.param_groups:
+                g["lr"] *= self.factor
+
+    _stub_module("pytorch_warmup", LinearWarmup=LinearWarmup)
+
+
+def _patch_cuda_to_cpu(torch):
+    """Rewrite .to('cuda') → .to('cpu') for Modules and Tensors."""
+    import torch.nn as nn
+
+    def _fix(args, kwargs):
+        args = tuple("cpu" if (isinstance(a, str) and a.startswith("cuda")) else a
+                     for a in args)
+        if isinstance(kwargs.get("device"), str) and kwargs["device"].startswith("cuda"):
+            kwargs = {**kwargs, "device": "cpu"}
+        return args, kwargs
+
+    mod_to = nn.Module.to
+
+    def module_to(self, *args, **kwargs):
+        args, kwargs = _fix(args, kwargs)
+        return mod_to(self, *args, **kwargs)
+
+    nn.Module.to = module_to
+    ten_to = torch.Tensor.to
+
+    def tensor_to(self, *args, **kwargs):
+        args, kwargs = _fix(args, kwargs)
+        return ten_to(self, *args, **kwargs)
+
+    torch.Tensor.to = tensor_to
+
+
+class _Loader:
+    """Minimal (X, y, aux) torch loader over fixed numpy arrays — the SAME
+    data feeds both trainers."""
+
+    def __init__(self, torch, x, y, batch_size, shuffle, seed):
+        self.torch = torch
+        self.x = torch.as_tensor(x)
+        self.y = torch.as_tensor(y)
+        self.bsz = batch_size
+        self.shuffle = shuffle
+        self.gen = torch.Generator().manual_seed(seed)
+        self.n = len(x) // batch_size
+
+    def __len__(self):
+        return self.n
+
+    def __iter__(self):
+        order = (
+            self.torch.randperm(len(self.x), generator=self.gen)
+            if self.shuffle else self.torch.arange(len(self.x))
+        )
+        for i in range(self.n):
+            idx = order[i * self.bsz : (i + 1) * self.bsz]
+            yield self.x[idx], self.y[idx], {}
+
+
+def _make_config(args):
+    train_config = {
+        "total_steps": args.steps,
+        "batch_size": args.batch,
+        "lr": args.lr,
+        "wd": 0.1,
+        "eval_every": args.eval_every,
+        "stop_criterion": 0.99,
+        "cosine_anneal": True,
+        "param_group": None,
+        "warmup": args.warmup_ref,  # the key the reference step trainer IGNORES
+    }
+    model_config = {
+        "input_dim": 1, "output_dim": args.vocab, "layer": "transformer",
+        "attention_fn": "norm-attention", "mode": "attention",
+        "norm_fn": "softplus", "approx_fn": "elu", "scale_B": True,
+        "offset": True, "offset_init": "exp", "learn_A": False,
+        "dim_conv": 4, "use_flash": False, "num_layers": 2,
+        "hidden_dim": 128, "state_dim": 128, "num_heads": 1,
+        "att_dropout": 0.0, "norm": "layer", "embedding": True,
+        "vocab_size": args.vocab, "max_pos_embed": 0, "mixer": "none",
+        "mixer_dim": 128, "dropout": 0.1, "classifier": False,
+        "pooling": "mean", "dual": False,
+    }
+    return train_config, model_config
+
+
+def _gen_data(args):
+    from tlie_tpu.data import MQAR
+
+    ds = MQAR(
+        _name_="mqar", input_seq_length=args.seq, num_kv_pairs=args.kv,
+        vocab_size=args.vocab, num_train_examples=args.train_n,
+        num_test_examples=args.test_n, fixed_size=True, seed=42,
+    )
+    ds.setup()
+    return ds
+
+
+def run_reference(args, ds, train_config, model_config):
+    _install_stubs()
+    import torch
+
+    _patch_cuda_to_cpu(torch)
+    torch.set_num_threads(args.threads)
+    sys.path.insert(0, str(REF))
+    import train as ref_train  # noqa: the reference's own trainer
+
+    tl = _Loader(torch, ds.train_inputs.squeeze(-1) if ds.train_inputs.ndim == 3
+                 else ds.train_inputs, ds.train_labels, args.batch, True, 1919)
+    te = _Loader(torch, ds.test_inputs.squeeze(-1) if ds.test_inputs.ndim == 3
+                 else ds.test_inputs, ds.test_labels, args.batch, False, 0)
+    metrics_fn = (
+        lambda y_hat, y, ignore_idx=-100:
+        (y_hat.argmax(dim=-1) == y)[y != ignore_idx].to(float).mean().item()
+    )
+
+    curve = []
+    orig_write = ref_train.tqdm.write
+
+    def capture(msg):
+        orig_write(msg)
+        if "Test performance" in msg:
+            curve.append(float(msg.split(":")[-1]))
+
+    ref_train.tqdm.write = staticmethod(capture)
+    t0 = time.time()
+    path, perf = ref_train.train_torch_step(
+        1919, tl, te, ref_train.Transformer, metrics_fn, None,
+        train_config, model_config, None,
+    )
+    return {"final_perf": perf, "curve": curve, "wall_s": time.time() - t0}
+
+
+def run_ours(args, ds, train_config, model_config, warmup_ours):
+    from tlie_tpu.config import ExperimentConfig
+    from tlie_tpu.training import train
+
+    raw = {
+        "seed": 1919, "save": None,
+        "dataset": {
+            "name": "MQAR", "_name_": "mqar", "input_seq_length": args.seq,
+            "num_kv_pairs": args.kv, "vocab_size": args.vocab,
+            "num_train_examples": args.train_n, "num_test_examples": args.test_n,
+            "fixed_size": True,
+        },
+        "train": {**train_config, "lr_min": 5e-6},  # reference eta_min
+        "model": dict(model_config),
+    }
+    # warmup semantics under adjudication: the reference step trainer ignores
+    # the "warmup" key entirely; emulate by renaming
+    raw["train"].pop("warmup", None)
+    if warmup_ours:
+        raw["train"]["warmup_steps"] = warmup_ours
+    cfg = ExperimentConfig(raw).validate()
+    cfg.derive_runtime_fields(ds)
+    tl = ds.train_dataloader(batch_size=args.batch, shuffle=True)
+    te = ds.test_dataloader(batch_size=args.batch, shuffle=False)
+
+    # capture the per-eval test perf curve from the loop's progress lines
+    curve = []
+
+    class _Tee:
+        def __init__(self, inner):
+            self.inner = inner
+
+        def write(self, s):
+            self.inner.write(s)
+            for line in s.splitlines():
+                if "test perf" in line:
+                    try:
+                        curve.append(float(line.split("test perf")[1].split("|")[0]))
+                    except ValueError:
+                        pass
+
+        def flush(self):
+            self.inner.flush()
+
+    t0 = time.time()
+    with contextlib.redirect_stdout(_Tee(sys.stdout)):
+        path, perf = train(cfg, tl, te, ds.get_metrics(layer="transformer"), None)
+    return {"final_perf": float(perf), "curve": curve, "wall_s": time.time() - t0}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=8000)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--seq", type=int, default=128)
+    ap.add_argument("--kv", type=int, default=8)
+    ap.add_argument("--vocab", type=int, default=1024)
+    ap.add_argument("--train_n", type=int, default=16384)
+    ap.add_argument("--test_n", type=int, default=1024)
+    ap.add_argument("--eval_every", type=int, default=250)
+    ap.add_argument("--warmup_ref", type=int, default=1000)
+    ap.add_argument("--warmup_ours", type=int, default=0)
+    ap.add_argument("--threads", type=int, default=8)
+    ap.add_argument("--side", choices=["both", "ref", "ours"], default="both")
+    ap.add_argument("--out", default="/tmp/adjudicate_norm_attention.json")
+    args = ap.parse_args(argv)
+
+    ds = _gen_data(args)
+    train_config, model_config = _make_config(args)
+    out = {"args": vars(args)}
+    if args.side in ("both", "ours"):
+        out["ours"] = run_ours(args, ds, train_config, model_config, args.warmup_ours)
+        print("[ours]", out["ours"]["final_perf"], f"{out['ours']['wall_s']:.0f}s")
+    if args.side in ("both", "ref"):
+        out["ref"] = run_reference(args, ds, train_config, model_config)
+        print("[ref]", out["ref"]["final_perf"], f"{out['ref']['wall_s']:.0f}s")
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print("wrote", args.out)
+
+
+if __name__ == "__main__":
+    main()
