@@ -240,3 +240,95 @@ def test_sequence_parallel_training_matches_single_device(layer, tmp_path):
         np.testing.assert_allclose(
             np.asarray(x), np.asarray(y), rtol=1e-3, atol=1e-4
         )
+
+
+def test_sp_linear_attention_normalizer_matches_single_device(mesh):
+    """The cross-shard fused normalizer (q_t · Σ_{s≤t} k_s with the
+    per-shard carry) ≡ the single-device fused normalizer."""
+    from tlie_tpu.ops.linear_attention import chunked_linear_attention
+    from tlie_tpu.parallel.sp import sp_linear_attention
+
+    rng = np.random.default_rng(9)
+    B, L, H, D = 2, 64, 2, 8
+    q = jnp.asarray(np.abs(rng.normal(size=(B, L, H, D))), jnp.float32)
+    k = jnp.asarray(np.abs(rng.normal(size=(B, L, H, D))), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, L, H, D)), jnp.float32)
+    got_y, got_n = jax.jit(
+        lambda q, k, v: sp_linear_attention(
+            q, k, v, mesh, scale=0.5, return_normalizer=True
+        )
+    )(q, k, v)
+    want_y, want_n = chunked_linear_attention(
+        q, k, v, scale=0.5, return_normalizer=True
+    )
+    np.testing.assert_allclose(np.asarray(got_y), np.asarray(want_y), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_n), np.asarray(want_n), rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("attention_fn", ["lin-attention", "sm-attention", "norm-attention"])
+def test_sequence_parallel_attention_training_matches_single_device(attention_fn, tmp_path):
+    """train.sequence_parallel routes the transformer's attention through
+    the seq mesh (lin/norm → sp_linear_attention incl. the fused
+    normalizer; sm → ring attention) with single-device-equivalent
+    results."""
+    from tlie_tpu.config import ExperimentConfig
+    from tlie_tpu.data import SequenceDataset
+    from tlie_tpu.training import train
+
+    extra = {}
+    if attention_fn == "norm-attention":
+        extra = {
+            "mode": "attention", "norm_fn": "softplus", "approx_fn": "elu",
+            "scale_B": True, "offset": True, "offset_init": "exp",
+            "learn_A": False, "dim_conv": 4,
+        }
+
+    def _cfg(sp):
+        raw = {
+            "seed": 5, "save": None,
+            "dataset": {
+                "name": "MQAR", "_name_": "mqar", "input_seq_length": 32,
+                "num_kv_pairs": 4, "vocab_size": 64,
+                "num_train_examples": 128, "num_test_examples": 32,
+                "fixed_size": True,
+            },
+            "train": {
+                "total_steps": 6, "batch_size": 16, "lr": 3e-3, "wd": 0.05,
+                "eval_every": 6, "cosine_anneal": True, "param_group": None,
+                "data_parallel": False, "sequence_parallel": sp,
+            },
+            "model": {
+                "input_dim": 1, "output_dim": 64, "layer": "transformer",
+                "attention_fn": attention_fn, "use_flash": False,
+                "num_layers": 1, "hidden_dim": 16, "state_dim": 16,
+                "num_heads": 2, "att_dropout": 0.0, "norm": "layer",
+                "embedding": True, "vocab_size": 64, "max_pos_embed": 32,
+                "mixer": "none", "mixer_dim": 16, "dropout": 0.0,
+                "classifier": False, "pooling": "mean", "dual": False,
+                **extra,
+            },
+        }
+        return ExperimentConfig(raw).validate()
+
+    cfg = _cfg(1)
+    ds = SequenceDataset.registry["mqar"](**cfg.dataset)
+    ds.setup()
+    metrics_fn = ds.get_metrics(layer="transformer")
+    tl = ds.train_dataloader(batch_size=16, shuffle=True)
+    el = ds.test_dataloader(batch_size=16, shuffle=False)
+
+    outs = {}
+    for sp in (1, 4):
+        c = _cfg(sp)
+        c.derive_runtime_fields(ds)
+        res = train(c, tl, el, metrics_fn)
+        outs[sp] = (res[1], jax.device_get(res.state.params))
+
+    assert abs(outs[1][0] - outs[4][0]) < 2e-3
+    flat1 = jax.tree_util.tree_leaves(outs[1][1])
+    flat4 = jax.tree_util.tree_leaves(outs[4][1])
+    for x, y in zip(flat1, flat4):
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), rtol=2e-3, atol=2e-4
+        )

@@ -81,9 +81,21 @@ def causal_softmax_attention(
       impl: "flash" | "xla" | None (auto).
 
     Returns: (B, L, H, Dv).
+
+    Under an active ``ops.scan.sequence_parallel`` context the computation
+    routes to ring attention over the seq mesh (parallel/ring.py).
     """
     if scale is None:
         scale = 1.0 / (q.shape[-1] ** 0.5)
+    from .scan import _SP_STATE
+
+    if _SP_STATE is not None:
+        from ..parallel.ring import ring_causal_attention
+
+        mesh, axis_name = _SP_STATE
+        return ring_causal_attention(
+            q, k, v, mesh, scale=scale, axis_name=axis_name
+        )
     if impl is None:
         impl = "flash" if _flash_eligible(q, k, v) else "xla"
     if impl == "flash":

@@ -69,7 +69,21 @@ def chunked_linear_attention(
     needs — the intra-chunk part is a row-sum of the masked score matrix,
     the inter-chunk part a contraction with the prefix k-sums (the Dv=1
     marginal of S_prefix) — so the standalone normalizer pass (a second
-    qk matmul + an O(L) cumsum over the (B, L, H, Dk) keys) disappears."""
+    qk matmul + an O(L) cumsum over the (B, L, H, Dk) keys) disappears.
+
+    Under an active ``ops.scan.sequence_parallel`` context the computation
+    routes to the seq-mesh version (parallel/sp.py): per-device chunked
+    kernels + one ICI all-gather of KV-state (and k-sum) summaries."""
+    from .scan import _SP_STATE
+
+    if _SP_STATE is not None:
+        from ..parallel.sp import sp_linear_attention
+
+        mesh, axis_name = _SP_STATE
+        return sp_linear_attention(
+            q, k, v, mesh, scale=scale, axis_name=axis_name,
+            return_normalizer=return_normalizer, eps=eps,
+        )
     B, L, H, Dk = q.shape
     Dv = v.shape[-1]
     if L % chunk != 0:

@@ -145,12 +145,27 @@ def sp_diag_linear_scan(
     return out
 
 
-def _linear_attention_block(q_blk, k_blk, v_blk, *, scale, axis_name):
+def _linear_attention_block(
+    q_blk, k_blk, v_blk, *, scale, axis_name, return_normalizer=False, eps=None
+):
+    from ..ops import scan as scan_mod
     from ..ops.linear_attention import chunked_linear_attention
 
     n = lax.psum(1, axis_name)
     idx = lax.axis_index(axis_name)
-    y_local = chunked_linear_attention(q_blk, k_blk, v_blk, scale=scale)
+    f32 = jnp.promote_types(k_blk.dtype, jnp.float32)
+    # mask the sequence_parallel context while tracing the LOCAL kernel —
+    # chunked_linear_attention routes back here when it sees it active
+    prev, scan_mod._SP_STATE = scan_mod._SP_STATE, None
+    try:
+        if return_normalizer:
+            y_local, n_local = chunked_linear_attention(
+                q_blk, k_blk, v_blk, scale=scale, return_normalizer=True
+            )
+        else:
+            y_local = chunked_linear_attention(q_blk, k_blk, v_blk, scale=scale)
+    finally:
+        scan_mod._SP_STATE = prev
     # per-shard KV summary; f32 accumulation for the cross-shard state
     S = jnp.einsum(
         "blhd,blhe->bhde", (k_blk * scale).astype(jnp.float32),
@@ -159,7 +174,18 @@ def _linear_attention_block(q_blk, k_blk, v_blk, *, scale, axis_name):
     Ss = lax.all_gather(S, axis_name)  # (n, B, H, Dk, Dv)
     before = (jnp.arange(n) < idx).astype(Ss.dtype)
     S_in = jnp.einsum("n...,n->...", Ss, before).astype(q_blk.dtype)
-    return y_local + jnp.einsum("blhd,bhde->blhe", q_blk, S_in)
+    y = y_local + jnp.einsum("blhd,bhde->blhe", q_blk, S_in)
+    if not return_normalizer:
+        return y
+    # normalizer carry: n_t += q_t · Σ_{earlier shards} k  (scaled, f32 —
+    # matching the fused normalizer's precision contract)
+    ksum = (k_blk.astype(f32) * scale).sum(axis=1)  # (B, H, Dk)
+    Ks = lax.all_gather(ksum, axis_name)  # (n, B, H, Dk)
+    k_in = jnp.einsum("n...,n->...", Ks, before.astype(f32))
+    n_out = n_local + jnp.einsum("blhd,bhd->blh", q_blk.astype(f32), k_in)
+    if eps is not None:
+        n_out = jnp.where(n_out == 0, jnp.full((), eps, n_out.dtype), n_out)
+    return y, n_out
 
 
 def sp_linear_attention(
@@ -170,13 +196,19 @@ def sp_linear_attention(
     *,
     scale: float = 1.0,
     axis_name: str = "seq",
-) -> jax.Array:
+    return_normalizer: bool = False,
+    eps: Optional[float] = None,
+):
     """Causal linear attention (the GLA g=None state recurrence,
     ops/linear_attention.py) with the (B, L, H, D) time axis sharded over
     ``mesh``: each device runs the chunked kernel on its shard, per-shard
     KV-state summaries Σ k_t v_tᵀ travel once over ICI (one all-gather of
     (B, H, Dk, Dv) per device), and queries pick up the carried-in state.
-    Exact vs the single-device kernel up to float reassociation."""
+    Exact vs the single-device kernel up to float reassociation.
+
+    ``return_normalizer=True`` additionally returns the cross-shard fused
+    normalizer n_t = q_t · Σ_{s≤t} k_s (f32), extending the per-shard k-sum
+    with one extra (B, H, Dk) all-gather."""
     try:
         from jax import shard_map
     except ImportError:  # pre-0.8 JAX
@@ -187,9 +219,12 @@ def sp_linear_attention(
         raise ValueError(f"sequence length {L} not divisible by {axis_name} axis {n}")
     spec = P(None, axis_name)
     fn = shard_map(
-        partial(_linear_attention_block, scale=float(scale), axis_name=axis_name),
+        partial(
+            _linear_attention_block, scale=float(scale), axis_name=axis_name,
+            return_normalizer=return_normalizer, eps=eps,
+        ),
         mesh=mesh,
         in_specs=(spec, spec, spec),
-        out_specs=spec,
+        out_specs=(spec, spec) if return_normalizer else spec,
     )
     return fn(q, k, v)
