@@ -34,7 +34,11 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_TILE = 256
+# Sequence tile edge.  256 was the round-4 shipping value; TLIE_SSD_TILE
+# overrides for on-chip A/Bs (512 quarters the number of grid steps and cuts
+# ~40% of the B/C/x tile re-fetch traffic at L1024 while staying within the
+# VMEM gate — see eligible()).  Read once at import, like the kernel opt-in.
+_TILE = int(os.environ.get("TLIE_SSD_TILE", "256"))
 
 
 def eligible(L: int, N: int, P: int, Hg: int = 8) -> bool:
@@ -73,6 +77,15 @@ def eligible(L: int, N: int, P: int, Hg: int = 8) -> bool:
 
 def _interpret() -> bool:
     return jax.default_backend() in ("cpu", "gpu")
+
+
+def _compiler_params():
+    """Raise the per-kernel scoped-VMEM ceiling to 32 MB (v5e has 128 MB
+    VMEM/core; Mosaic's 16 MB default rejects the T=512 backward by 40 KB).
+    None in interpret mode — the param is TPU-only metadata."""
+    if _interpret():
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=32 * 2**20)
 
 
 def _grids(L: int):
@@ -244,6 +257,7 @@ def _fwd(Cm, Bm, cs, xdt):
         out_shape=jax.ShapeDtypeStruct((BG, Hg, L, P), xdt.dtype),
         scratch_shapes=[pltpu.VMEM((Hg, T, P), jnp.float32)],
         interpret=_interpret(),
+        compiler_params=_compiler_params(),
     )(Cm, Bm, cs, cs, xdt)
     return y, (Cm, Bm, cs, xdt)
 
@@ -272,6 +286,7 @@ def _bwd(res, dy):
             pltpu.VMEM((Hg, T), jnp.float32),
         ],
         interpret=_interpret(),
+        compiler_params=_compiler_params(),
     )(Cm, Bm, cs, cs, xdt, dy)
 
     in_specs, hi, _hj = _cb_specs(T, N, Hg, P, "ji")
@@ -295,6 +310,7 @@ def _bwd(res, dy):
             pltpu.VMEM((Hg, T), jnp.float32),
         ],
         interpret=_interpret(),
+        compiler_params=_compiler_params(),
     )(Cm, Bm, cs, cs, xdt, dy)
 
     return dC, dB, (dcs_i + dcs_j).astype(cs.dtype), dxdt
