@@ -229,7 +229,7 @@ def run_reference(args, ds, train_config, model_config):
     ref_train.tqdm.write = staticmethod(capture)
     t0 = time.time()
     path, perf = ref_train.train_torch_step(
-        1919, tl, te, ref_train.Transformer, metrics_fn, None,
+        args.seed, tl, te, ref_train.Transformer, metrics_fn, None,
         train_config, model_config, None,
     )
     return {"final_perf": perf, "curve": curve, "wall_s": time.time() - t0}
@@ -240,7 +240,7 @@ def run_ours(args, ds, train_config, model_config, warmup_ours):
     from tlie_tpu.training import train
 
     raw = {
-        "seed": 1919, "save": None,
+        "seed": args.seed, "save": None,
         "dataset": {
             "name": "MQAR", "_name_": "mqar", "input_seq_length": args.seq,
             "num_kv_pairs": args.kv, "vocab_size": args.vocab,
@@ -300,6 +300,7 @@ def main(argv=None):
     ap.add_argument("--warmup_ours", type=int, default=0)
     ap.add_argument("--threads", type=int, default=8)
     ap.add_argument("--side", choices=["both", "ref", "ours"], default="both")
+    ap.add_argument("--seed", type=int, default=1919)
     ap.add_argument("--out", default="/tmp/adjudicate_norm_attention.json")
     args = ap.parse_args(argv)
 
