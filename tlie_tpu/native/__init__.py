@@ -47,7 +47,7 @@ def _load() -> Optional[ctypes.CDLL]:
     global _lib, _build_failed
     if _lib is not None or _build_failed:
         return _lib
-    so = _compile("tlie_native", ["mqar_gen.cpp"])
+    so = _compile("tlie_native", ["mqar_gen.cpp", "listops_gen.cpp"])
     if so is None:
         _build_failed = True
         return None
@@ -58,6 +58,13 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_double, ctypes.c_uint64, ctypes.c_int,
     ]
     lib.mqar_generate.restype = None
+    lib.listops_generate.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_uint64, ctypes.c_int,
+    ]
+    lib.listops_generate.restype = None
     _lib = lib
     return _lib
 
@@ -89,3 +96,43 @@ def mqar_generate_native(
         power_a, seed, int(random_non_queries),
     )
     return inputs, labels
+
+
+#: canonical ListOps token ids emitted by csrc/listops_gen.cpp
+LISTOPS_TOKENS = tuple(str(d) for d in range(10)) + (
+    "[MIN", "[MAX", "[MED", "[SM", "X",
+)
+
+
+def listops_generate_native(
+    n: int,
+    seed: int,
+    min_length: int = 500,
+    max_length: int = 2000,
+    l_max: int = 2048,
+    max_depth: int = 10,
+    max_args: int = 10,
+    threads: int = 0,
+):
+    """C++ ListOps growth-scheme synthesis (csrc/listops_gen.cpp).
+
+    Returns (tokens (N, l_max) int32 canonical ids padded with -1,
+    lengths (N,) int32, targets (N,) int64), or None when no compiler is
+    available.  Canonical id i ↔ ``LISTOPS_TOKENS[i]``; same vocabulary,
+    operator semantics, length window and depth cap as the Python
+    generator (data/listops.py::generate_listops_by_growth) — ~100×
+    faster (the Python path measured 118 examples/s; the 96k reference
+    split is ~14 min there)."""
+    lib = _load()
+    if lib is None:
+        return None
+    tokens = np.empty((n, l_max), dtype=np.int32)
+    lengths = np.empty((n,), dtype=np.int32)
+    targets = np.empty((n,), dtype=np.int64)
+    lib.listops_generate(
+        tokens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        targets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n, l_max, min_length, max_length, max_depth, max_args, seed, threads,
+    )
+    return tokens, lengths, targets
