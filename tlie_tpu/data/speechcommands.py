@@ -188,6 +188,12 @@ class SpeechCommands(SequenceDataset):
         return argmax_accuracy
 
     def _featurize(self, waves: np.ndarray, rng) -> np.ndarray:
+        # dropped_rate note: samples are dropped at the FEATURE rate (raw
+        # timesteps, or MFCC frames when mfcc=True).  The s4-lineage SC
+        # implementations drop raw samples pre-MFCC; the reference's own
+        # class never ran, so there is no behavior to match — frame-level
+        # dropping keeps the mask channel aligned with the model's input
+        # sequence, which is what the d_input "+1" contract describes.
         if self.mfcc:
             feats = np.stack([mfcc(w) for w in waves])  # (N, 161, 20)
         else:

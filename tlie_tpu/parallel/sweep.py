@@ -10,8 +10,12 @@ trains every point simultaneously.
 Per-point early stopping (``stop_criterion``, ref train.py:683-688) is
 masked: points that have hit the criterion keep their parameters frozen by
 zeroing their injected learning rate, so grid points finishing at different
-steps never force a reshape.  Shape-changing sweep parameters (num_layers,
-hidden_dim, …) partition the grid into groups compiled separately.
+steps never force a reshape.  Points share a compiled group only when their
+configs agree on EVERY key except the per-point-threaded ones (seed, lr,
+ssm_lr) — sweeping any other parameter (num_layers, wd, norm_fn, …)
+partitions the grid into groups compiled and trained separately, each with
+its own correct config (round-5 fix: the previous shape-key grouping
+silently trained the leader's value for non-shape params).
 
 Per-point completion is journaled so a preempted sweep resumes where it
 stopped (the reference loses the whole grid on a crash).
