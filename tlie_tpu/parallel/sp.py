@@ -40,6 +40,11 @@ ArrayOrPair = Union[jax.Array, Tuple[jax.Array, jax.Array]]
 def seq_mesh(n_devices: Optional[int] = None, axis: str = "seq") -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)
+    if n > len(devs):
+        raise ValueError(
+            f"sequence_parallel={n} requested but only {len(devs)} device(s) "
+            "are visible"
+        )
     return Mesh(np.asarray(devs[:n]), (axis,))
 
 
