@@ -1,0 +1,213 @@
+"""Decode/serving parity: the O(1)-state step path equals the full forward.
+
+For every family, a teacher-forced scan of ``inference.Decoder.step`` over a
+token sequence must reproduce the parallel training forward's per-position
+logits (the step path maintains recurrent state / conv tails / KV caches
+incrementally).  The reference has no decode path at all; these tests pin
+ours against the same full-sequence graphs the trainer runs.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tlie_tpu.inference import Decoder
+from tlie_tpu.models.registry import build_models
+
+B, L, V = 2, 24, 32
+
+
+def _tokens(seed=0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.integers(0, V, size=(B, L)), jnp.int32)
+
+
+def _full_and_stepwise(model_cfg, seed=0, padded=False):
+    _, eval_model, _ = build_models(dict(model_cfg), padded)
+    toks = _tokens(seed)
+    variables = eval_model.init(jax.random.PRNGKey(seed), toks)
+    full = eval_model.apply(variables, toks)
+    dec = Decoder(model_cfg, variables["params"],
+                  batch_stats=variables.get("batch_stats"))
+    stepwise = dec.stepwise_logits(toks)
+    return np.asarray(full), np.asarray(stepwise), dec, toks
+
+
+def _assert_close(full, stepwise, rtol=2e-4, atol=2e-4):
+    assert full.shape == stepwise.shape
+    np.testing.assert_allclose(stepwise, full, rtol=rtol, atol=atol)
+
+
+# ---------------------------------------------------------------- SSM stack
+
+_SSM_BASE = {
+    "input_dim": V, "output_dim": V, "hidden_dim": 8, "state_dim": 8,
+    "num_layers": 2, "dropout": 0.0, "pooling": "none", "prenorm": True,
+    "norm": "layer", "activation": "full_glu", "classifier": False,
+    "dual": False, "seq_len": L,
+}
+
+
+def test_decode_lru():
+    full, stepwise, _, _ = _full_and_stepwise({**_SSM_BASE, "layer": "lru"})
+    _assert_close(full, stepwise)
+
+
+def test_decode_lru_postnorm_batchnorm_half_glu():
+    cfg = {**_SSM_BASE, "layer": "lru", "prenorm": False, "norm": "batch",
+           "activation": "half_glu1"}
+    full, stepwise, _, _ = _full_and_stepwise(cfg)
+    _assert_close(full, stepwise)
+
+
+def test_decode_s5_zoh():
+    cfg = {**_SSM_BASE, "layer": "s5", "num_blocks": 2, "conj_sym": True,
+           "discretization": "zoh", "C_init": "lecun_normal",
+           "activation": "half_glu2"}
+    full, stepwise, _, _ = _full_and_stepwise(cfg)
+    _assert_close(full, stepwise)
+
+
+def test_decode_s5_bilinear_clip():
+    cfg = {**_SSM_BASE, "layer": "s5", "num_blocks": 2, "conj_sym": False,
+           "discretization": "bilinear", "clip_eigs": True,
+           "C_init": "complex_normal", "activation": "gelu"}
+    full, stepwise, _, _ = _full_and_stepwise(cfg)
+    _assert_close(full, stepwise)
+
+
+def test_decode_s4_cnn_vs_step():
+    # CNN (FFT) mode vs the dense DPLR recurrence agree to ~1e-3 (the same
+    # tolerance class as the existing CNN≡RNN test)
+    cfg = {**_SSM_BASE, "layer": "s4", "C_init": "complex_normal"}
+    full, stepwise, _, _ = _full_and_stepwise(cfg)
+    _assert_close(full, stepwise, rtol=5e-3, atol=5e-3)
+
+
+def test_decode_s5_bidirectional_rejected():
+    cfg = {**_SSM_BASE, "layer": "s5", "num_blocks": 2,
+           "bidirectional": True, "C_init": "lecun_normal"}
+    _, eval_model, _ = build_models(dict(cfg), False)
+    variables = eval_model.init(jax.random.PRNGKey(0), _tokens())
+    with pytest.raises(ValueError, match="bidirectional"):
+        Decoder(cfg, variables["params"])
+
+
+# ------------------------------------------------------------- Transformer
+
+_TF_BASE = {
+    "layer": "transformer", "input_dim": 1, "output_dim": V,
+    "hidden_dim": 8, "state_dim": 8, "num_heads": 2, "num_layers": 2,
+    "att_dropout": 0.0, "dropout": 0.0, "norm": "layer", "embedding": True,
+    "vocab_size": V, "max_pos_embed": L, "mixer": "none", "mixer_dim": 16,
+    "classifier": False, "pooling": "none", "dual": False, "use_flash": False,
+    "dim_conv": 0,
+}
+
+
+def test_decode_lin_attention_conv_glu():
+    cfg = {**_TF_BASE, "attention_fn": "lin-attention", "dim_conv": 3,
+           "conv_type": "full", "mixer": "glu"}
+    full, stepwise, _, _ = _full_and_stepwise(cfg)
+    _assert_close(full, stepwise)
+
+
+def test_decode_lin_attention_mlp_gate():
+    cfg = {**_TF_BASE, "attention_fn": "lin-attention", "mixer": "mlp",
+           "use_gate": True}
+    full, stepwise, _, _ = _full_and_stepwise(cfg)
+    _assert_close(full, stepwise)
+
+
+def test_decode_sm_attention_partial_conv():
+    cfg = {**_TF_BASE, "attention_fn": "sm-attention", "dim_conv": 3,
+           "conv_type": "qk", "mixer": "none"}
+    full, stepwise, _, _ = _full_and_stepwise(cfg)
+    _assert_close(full, stepwise)
+
+
+def test_decode_norm_attention():
+    cfg = {**_TF_BASE, "attention_fn": "norm-attention", "norm_fn": "softplus",
+           "approx_fn": "elu", "scale_B": True, "offset": True,
+           "offset_init": "uniform", "dim_conv": 3, "conv_type": "full",
+           "mixer": "hybrid"}
+    full, stepwise, _, _ = _full_and_stepwise(cfg)
+    _assert_close(full, stepwise)
+
+
+def test_decode_norm_attention_exp_noconv():
+    cfg = {**_TF_BASE, "attention_fn": "norm-attention", "norm_fn": "exp",
+           "approx_fn": "none", "scale_B": False, "offset": False,
+           "offset_init": "uniform", "dim_conv": 0, "mixer": "none"}
+    full, stepwise, _, _ = _full_and_stepwise(cfg)
+    _assert_close(full, stepwise)
+
+
+# ------------------------------------------------------------------- Mamba
+
+_MB_BASE = {
+    "layer": "mamba", "version": "mamba2", "input_dim": 1, "output_dim": V,
+    "hidden_dim": 8, "state_dim": 4, "num_heads": 2, "num_layers": 2,
+    "conv_dim": 4, "expansion": 1, "dropout": 0.0, "glu": True,
+    "norm": "layer", "prenorm": True, "classifier": False, "pooling": "none",
+    "dual": False, "embedding": True, "token_embedding": True,
+    "vocab_size": V, "mixer": "none", "mixer_dim": 8,
+}
+
+
+def test_decode_mamba2():
+    full, stepwise, _, _ = _full_and_stepwise(_MB_BASE)
+    _assert_close(full, stepwise)
+
+
+def test_decode_mamba2_ngroups_init_states():
+    cfg = {**_MB_BASE, "ngroups": 2, "learnable_init_states": True,
+           "glu": False, "prenorm": False}
+    full, stepwise, _, _ = _full_and_stepwise(cfg)
+    _assert_close(full, stepwise)
+
+
+def test_decode_mamba2_pseudo_lti():
+    cfg = {**_MB_BASE, "pseudoLTI": True, "dt_limit": (0.0, 0.5)}
+    full, stepwise, _, _ = _full_and_stepwise(cfg)
+    _assert_close(full, stepwise)
+
+
+def test_decode_mamba1():
+    cfg = {**_MB_BASE, "version": "mamba1", "expansion": 2, "state_dim": 4}
+    full, stepwise, _, _ = _full_and_stepwise(cfg)
+    _assert_close(full, stepwise)
+
+
+# -------------------------------------------------------------- generation
+
+def test_generate_greedy_matches_stepwise():
+    cfg = {**_TF_BASE, "attention_fn": "lin-attention", "mixer": "glu"}
+    _, _, dec, toks = _full_and_stepwise(cfg)
+    prompt = toks[:, :8]
+    out = dec.generate(prompt, n_new=6)
+    assert out.shape == (B, 14)
+    assert np.array_equal(np.asarray(out[:, :8]), np.asarray(prompt))
+    # greedy generation is deterministic
+    out2 = dec.generate(prompt, n_new=6)
+    assert np.array_equal(np.asarray(out), np.asarray(out2))
+    # the first generated token is the argmax of the stepwise logits at the
+    # last prompt position
+    sw = dec.stepwise_logits(prompt)
+    tok0 = np.argmax(np.asarray(sw[:, -1]), axis=-1)
+    assert np.array_equal(np.asarray(out[:, 8]), tok0)
+
+
+def test_generate_sampled_mamba2():
+    _, _, dec, toks = _full_and_stepwise(_MB_BASE)
+    out = dec.generate(toks[:, :4], n_new=5, temperature=1.0,
+                       rng=jax.random.PRNGKey(3))
+    assert out.shape == (B, 9)
+    assert np.asarray(out).min() >= 0 and np.asarray(out).max() < V
+
+
+def test_decode_classifier_rejected():
+    cfg = {**_TF_BASE, "attention_fn": "lin-attention", "classifier": True}
+    with pytest.raises(ValueError, match="classifier"):
+        Decoder(cfg, {})
