@@ -211,3 +211,37 @@ def test_decode_classifier_rejected():
     cfg = {**_TF_BASE, "attention_fn": "lin-attention", "classifier": True}
     with pytest.raises(ValueError, match="classifier"):
         Decoder(cfg, {})
+
+
+def test_generate_top_k_top_p():
+    cfg = {**_TF_BASE, "attention_fn": "lin-attention", "mixer": "glu"}
+    _, _, dec, toks = _full_and_stepwise(cfg)
+    prompt = toks[:, :4]
+    # top_k=1 sampling must equal greedy decoding regardless of temperature
+    greedy = dec.generate(prompt, n_new=6)
+    topk1 = dec.generate(prompt, n_new=6, temperature=2.0,
+                         rng=jax.random.PRNGKey(0), top_k=1)
+    assert np.array_equal(np.asarray(greedy), np.asarray(topk1))
+    # tiny top_p keeps only the argmax token -> also equals greedy
+    topp = dec.generate(prompt, n_new=6, temperature=2.0,
+                        rng=jax.random.PRNGKey(1), top_p=1e-6)
+    assert np.array_equal(np.asarray(greedy), np.asarray(topp))
+    # permissive settings still produce valid tokens
+    out = dec.generate(prompt, n_new=6, temperature=1.0,
+                       rng=jax.random.PRNGKey(2), top_k=8, top_p=0.9)
+    assert np.asarray(out).min() >= 0 and np.asarray(out).max() < V
+
+
+def test_decoder_from_checkpoint(tmp_path):
+    from tlie_tpu.training.checkpoint import save_checkpoint
+
+    cfg = {**_MB_BASE}
+    _, eval_model, _ = build_models(dict(cfg), False)
+    toks = _tokens()
+    variables = eval_model.init(jax.random.PRNGKey(0), toks)
+    full = eval_model.apply(variables, toks)
+    path = str(tmp_path / "ck")
+    save_checkpoint(path, {"params": variables["params"]},
+                    {"model": dict(cfg), "train": {}, "data": {}})
+    dec = Decoder.from_checkpoint(path)
+    _assert_close(np.asarray(full), np.asarray(dec.stepwise_logits(toks)))

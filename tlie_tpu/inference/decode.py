@@ -140,6 +140,23 @@ class Decoder:
             raise ValueError(f"unknown family {fam}")
         self._gen_cache: Dict[Tuple, Any] = {}
 
+    @classmethod
+    def from_checkpoint(cls, path: str) -> "Decoder":
+        """Build a decoder from a training checkpoint (the orbax
+        ``{"model", "config"}`` layout of training/checkpoint.py).
+
+        Note: this restores the full TrainState tree (including optimizer
+        moments); for repeated serving loads prefer restoring params once
+        and constructing ``Decoder(model_cfg, params)`` directly."""
+        from ..training.checkpoint import restore_checkpoint
+
+        ckpt = restore_checkpoint(path)
+        model = ckpt["model"]
+        return cls(
+            ckpt["config"]["model"], model["params"],
+            batch_stats=model.get("batch_stats"),
+        )
+
     # -- per-family recurrence constants (computed once) -------------------
 
     def _prep_ssm(self):
@@ -628,26 +645,51 @@ class Decoder:
         n_new: int,
         temperature: float = 0.0,
         rng: Optional[jax.Array] = None,
+        top_k: int = 0,
+        top_p: float = 0.0,
     ):
         """Greedy (temperature 0) or sampled generation.
 
-        prompt: (B, L0) int tokens → (B, L0 + n_new)."""
+        prompt: (B, L0) int tokens → (B, L0 + n_new).  ``top_k > 0``
+        restricts sampling to the k highest logits; ``0 < top_p < 1``
+        applies nucleus sampling (smallest logit set with cumulative
+        probability ≥ top_p).  Both compose with ``temperature``."""
         prompt = jnp.asarray(prompt)
         B, L0 = prompt.shape
         sample = temperature > 0.0
         if sample and rng is None:
             raise ValueError("sampling requires rng")
-        key = (L0, int(n_new), bool(sample), float(temperature), B)
+        key = (L0, int(n_new), bool(sample), float(temperature), B,
+               int(top_k), float(top_p))
         if key not in self._gen_cache:
             self._gen_cache[key] = jax.jit(
                 partial(self._generate_impl, L0=L0, n_new=int(n_new),
-                        temperature=float(temperature), sample=sample)
+                        temperature=float(temperature), sample=sample,
+                        top_k=int(top_k), top_p=float(top_p))
             )
         if rng is None:
             rng = jax.random.PRNGKey(0)
         return self._gen_cache[key](prompt, rng)
 
-    def _generate_impl(self, prompt, rng, *, L0, n_new, temperature, sample):
+    @staticmethod
+    def _filter_logits(logits, top_k, top_p):
+        if top_k > 0:
+            kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
+            logits = jnp.where(logits < kth, -jnp.inf, logits)
+        if 0.0 < top_p < 1.0:
+            sorted_l = jnp.sort(logits, axis=-1)[..., ::-1]
+            probs = jax.nn.softmax(sorted_l, axis=-1)
+            cum = jnp.cumsum(probs, axis=-1)
+            # keep the smallest prefix whose mass reaches top_p (the first
+            # token is always kept); threshold = smallest kept logit
+            keep = cum - probs < top_p
+            thresh = jnp.min(jnp.where(keep, sorted_l, jnp.inf), axis=-1,
+                             keepdims=True)
+            logits = jnp.where(logits < thresh, -jnp.inf, logits)
+        return logits
+
+    def _generate_impl(self, prompt, rng, *, L0, n_new, temperature, sample,
+                       top_k=0, top_p=0.0):
         B = prompt.shape[0]
         cache = self.init_cache(B, L0 + n_new)
 
@@ -664,7 +706,8 @@ class Decoder:
         def gen_body(carry, rng_t):
             cache, pos, logits = carry
             if sample:
-                tok = jax.random.categorical(rng_t, logits / temperature, axis=-1)
+                lg = self._filter_logits(logits, top_k, top_p)
+                tok = jax.random.categorical(rng_t, lg / temperature, axis=-1)
             else:
                 tok = jnp.argmax(logits, axis=-1)
             tok = tok.astype(prompt.dtype)
