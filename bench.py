@@ -250,6 +250,32 @@ def _bench_analysis(ds):
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+def _bench_decode(ds):
+    """Serving throughput (tokens/s) of the new inference subsystem on the
+    headline model: greedy generation, prefill+decode as one jitted scan
+    (tools/bench_decode.py measures the larger LM shapes)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tlie_tpu.inference import Decoder
+    from tlie_tpu.models.registry import build_models
+
+    _, ev, _ = build_models(dict(_LIN_ATT_MODEL), False)
+    rng = np.random.default_rng(0)
+    toks = jnp.asarray(rng.integers(0, 8192, (64, 32)), jnp.int32)
+    variables = ev.init(jax.random.PRNGKey(0), toks)
+    dec = Decoder(_LIN_ATT_MODEL, variables["params"])
+    out = dec.generate(toks, n_new=224)
+    float(out[0, -1])  # compile + warm
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        out = dec.generate(toks, n_new=224)
+        float(out[0, -1])
+        best = min(best, time.perf_counter() - t0)
+    return 64 * 224 / best
+
+
 def main():
     from tlie_tpu.data import SequenceDataset
     from tlie_tpu.training.scan_loop import put_dataset
@@ -260,6 +286,7 @@ def main():
 
     sps_lin = _bench_train(_LIN_ATT_MODEL, ds, data)
     sps_ssd = _bench_train(_MAMBA2_MODEL, ds, data)
+    decode_tps = _bench_decode(ds)
     sweep_rate, sweep_proj_min = _bench_sweep_grid(ds, data)
     t_eig, t_eig_warm = _bench_analysis(ds)
 
@@ -288,6 +315,7 @@ def main():
             "eval_eig_sec_per_checkpoint_warm": round(t_eig_warm, 3),
             "wikitext_mamba2_train_steps_per_sec_per_chip": round(sps_wt, 3),
             "wikitext_mamba2_bf16_train_steps_per_sec_per_chip": round(sps_wt_bf16, 3),
+            "mqar_lin_attention_decode_tokens_per_sec": round(decode_tps, 0),
         },
     }))
 

@@ -245,3 +245,16 @@ def test_decoder_from_checkpoint(tmp_path):
                     {"model": dict(cfg), "train": {}, "data": {}})
     dec = Decoder.from_checkpoint(path)
     _assert_close(np.asarray(full), np.asarray(dec.stepwise_logits(toks)))
+
+
+def test_decode_mamba2_bf16_state():
+    # bf16 state storage (opt-in serving knob): f32 update arithmetic keeps
+    # the short-horizon drift small; parity is looser than the f32 default
+    cfg = dict(_MB_BASE)
+    _, eval_model, _ = build_models(dict(cfg), False)
+    toks = _tokens()
+    variables = eval_model.init(jax.random.PRNGKey(0), toks)
+    full = np.asarray(eval_model.apply(variables, toks))
+    dec = Decoder(cfg, variables["params"], state_dtype=jnp.bfloat16)
+    stepwise = np.asarray(dec.stepwise_logits(toks))
+    _assert_close(full, stepwise, rtol=5e-2, atol=5e-2)

@@ -43,8 +43,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.attention_layers import (approx_fn_by_name, init_offset,
-                                       norm_fn_by_name)
+from ..models.attention_layers import approx_fn_by_name, norm_fn_by_name
 from ..models.s4 import discrete_dplr
 
 # ---------------------------------------------------------------------------
@@ -114,11 +113,22 @@ class Decoder:
         model_cfg: Dict[str, Any],
         params: Dict[str, Any],
         batch_stats: Optional[Dict[str, Any]] = None,
+        state_dtype: Any = jnp.float32,
     ):
+        """``state_dtype=jnp.bfloat16`` stores the LARGE decode states (the
+        SSD / Mamba-1 state lattices and the linear/norm-attention KV
+        states — the HBM-bound per-step tensors) in bf16, halving the
+        per-token state traffic; the update arithmetic stays f32.  Small
+        diagonal states (LRU/S5/S4) and conv tails stay f32 — they are
+        bandwidth-trivial, and the diagonal recurrences are
+        rounding-sensitive.  Opt-in: long recurrent accumulation in a bf16
+        state costs accuracy (the logits drift ~1e-2-relative over hundreds
+        of steps); measure on your task before serving with it."""
         cfg = dict(model_cfg)
         self.cfg = cfg
         self.params = params
         self.batch_stats = batch_stats
+        self.state_dtype = state_dtype
         fam = cfg["layer"]
         if cfg.get("classifier", False) or cfg.get("dual", False):
             raise ValueError("decode targets per-position LM heads "
@@ -240,7 +250,7 @@ class Decoder:
             for i in range(cfg["num_layers"]):
                 if cfg["version"] == "mamba1":
                     buf = jnp.zeros((bsz, max(K - 1, 0), d_inner), f32)
-                    h = jnp.zeros((bsz, d_inner, n), f32)
+                    h = jnp.zeros((bsz, d_inner, n), self.state_dtype)
                 else:
                     conv_dim = d_inner + 2 * g * n
                     buf = jnp.zeros((bsz, max(K - 1, 0), conv_dim), f32)
@@ -249,9 +259,9 @@ class Decoder:
                         h = jnp.broadcast_to(
                             jnp.swapaxes(pm["init_states"], -1, -2),
                             (bsz, H, n, P),
-                        ).astype(f32)
+                        ).astype(self.state_dtype)
                     else:
-                        h = jnp.zeros((bsz, H, n, P), f32)
+                        h = jnp.zeros((bsz, H, n, P), self.state_dtype)
                 layers.append((buf, h))
             return tuple(layers)
         # attention
@@ -267,11 +277,11 @@ class Decoder:
                      jnp.zeros((bsz, max_len, Hh, vd), f32))
             elif att == "lin-attention":
                 hd, vd = d_qk // Hh, d_model // Hh
-                c = (jnp.zeros((bsz, Hh, hd, vd), f32),
+                c = (jnp.zeros((bsz, Hh, hd, vd), self.state_dtype),
                      jnp.zeros((bsz, Hh, hd), f32))
             else:  # norm-attention
                 hd, vd = d_qk // Hh, d_model // Hh
-                c = (jnp.zeros((bsz, Hh, hd, vd), f32),)
+                c = (jnp.zeros((bsz, Hh, hd, vd), self.state_dtype),)
             if K > 0:
                 if cfg.get("conv_type", "full") == "full":
                     cw = d_model + 2 * d_qk
@@ -446,10 +456,10 @@ class Decoder:
             Bh = jnp.repeat(B_flat.reshape(-1, g, n), rep, axis=1)
             decay = jnp.exp(dt * A)[..., None, None]
             upd = (dt[..., None, None] * Bh[..., :, None]) * x[..., None, :]
-        h = decay * h + upd  # (B, H, N, P)
-        y = jnp.einsum("bhn,bhnp->bhp", Ch, h) + p["D"][None, :, None] * x
+        hf = decay * h.astype(jnp.float32) + upd  # (B, H, N, P) f32 math
+        y = jnp.einsum("bhn,bhnp->bhp", Ch, hf) + p["D"][None, :, None] * x
         out = _dense(y.reshape(y.shape[0], d_inner), p["out_proj"])
-        return out, (buf, h)
+        return out, (buf, hf.astype(self.state_dtype))
 
     def _mamba1_core_step(self, p, c, u):
         cfg = self.cfg
@@ -467,10 +477,10 @@ class Decoder:
         C_m = x_db[:, r + n :]
         A = -jnp.exp(p["A_log"])  # (d_inner, n)
         a = jnp.exp(dt[..., None] * A)
-        h = a * h + (dt * x)[..., None] * B_m[:, None, :]  # (B, d_inner, n)
-        y = jnp.einsum("bdn,bn->bd", h, C_m) + p["D"] * x
+        hf = a * h.astype(jnp.float32) + (dt * x)[..., None] * B_m[:, None, :]
+        y = jnp.einsum("bdn,bn->bd", hf, C_m) + p["D"] * x
         y = y * jax.nn.silu(z)
-        return _dense(y, p["out_proj"]), (buf, h)
+        return _dense(y, p["out_proj"]), (buf, hf.astype(self.state_dtype))
 
     # Transformer attention families (models/transformer.py)
     def _tf_step(self, cache, tok, pos):
@@ -568,9 +578,10 @@ class Decoder:
             q = jax.nn.elu(q) + 1
             k = jax.nn.elu(k) + 1
             S, ksum = c[-2], c[-1]
-            S = S + k[..., :, None] * v[..., None, :]
+            Sf = S.astype(jnp.float32) + k[..., :, None] * v[..., None, :]
+            S = Sf.astype(S.dtype)
             ksum = ksum + k
-            num = jnp.einsum("bhd,bhde->bhe", q, S)
+            num = jnp.einsum("bhd,bhde->bhe", q, Sf)
             nrm = jnp.einsum("bhd,bhd->bh", q.astype(jnp.float32),
                              ksum.astype(jnp.float32))
             ctx = num / nrm[..., None].astype(num.dtype)
@@ -610,8 +621,9 @@ class Decoder:
         k = k * scale
 
         S = c[-1]
-        S = S + k[..., :, None] * v[..., None, :]
-        out = jnp.einsum("bhd,bhde->bhe", q, S)
+        Sf = S.astype(jnp.float32) + k[..., :, None] * v[..., None, :]
+        S = Sf.astype(S.dtype)
+        out = jnp.einsum("bhd,bhde->bhe", q, Sf)
 
         nf = norm_fn_by_name(cfg["norm_fn"])
         if cfg["offset"]:

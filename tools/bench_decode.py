@@ -22,13 +22,13 @@ from tlie_tpu.inference import Decoder  # noqa: E402
 from tlie_tpu.models.registry import build_models  # noqa: E402
 
 
-def bench_one(name, cfg, B, L0, n_new, reps=2):
+def bench_one(name, cfg, B, L0, n_new, reps=2, state_dtype=jnp.float32):
     _, ev, _ = build_models(dict(cfg), False)
     rng = np.random.default_rng(0)
     vocab = cfg["vocab_size"]
     toks = jnp.asarray(rng.integers(0, vocab, (B, L0)), jnp.int32)
     variables = ev.init(jax.random.PRNGKey(0), toks)
-    dec = Decoder(cfg, variables["params"])
+    dec = Decoder(cfg, variables["params"], state_dtype=state_dtype)
     t0 = time.perf_counter()
     out = dec.generate(toks, n_new=n_new)
     float(out[0, -1])
@@ -52,6 +52,8 @@ def main():
     bench_one("mqar-lin-attention LM (2.3M)", _LIN_ATT_MODEL, 64, 32, 224)
     if mode == "full":
         bench_one("wikitext mamba2 (61M)", _WT_MAMBA2_MODEL, 8, 32, 224)
+        bench_one("wikitext mamba2 (61M, bf16 state)", _WT_MAMBA2_MODEL,
+                  8, 32, 224, state_dtype=jnp.bfloat16)
 
 
 if __name__ == "__main__":
