@@ -97,6 +97,17 @@ def _split_heads_t(x, num_heads):
     return x.reshape(b, num_heads, d // num_heads)
 
 
+def _n_pos_args(fn) -> int:
+    """Positional arity of a (possibly functools.partial-wrapped) fn."""
+    import inspect
+
+    sig = inspect.signature(fn)
+    return sum(
+        1 for prm in sig.parameters.values()
+        if prm.kind in (prm.POSITIONAL_ONLY, prm.POSITIONAL_OR_KEYWORD)
+    )
+
+
 class Decoder:
     """Per-token decoder for a trained checkpoint.
 
@@ -114,6 +125,7 @@ class Decoder:
         params: Dict[str, Any],
         batch_stats: Optional[Dict[str, Any]] = None,
         state_dtype: Any = jnp.float32,
+        mesh: Optional[Any] = None,
     ):
         """``state_dtype=jnp.bfloat16`` stores the LARGE decode states (the
         SSD / Mamba-1 state lattices and the linear/norm-attention KV
@@ -123,12 +135,21 @@ class Decoder:
         bandwidth-trivial, and the diagonal recurrences are
         rounding-sensitive.  Opt-in: long recurrent accumulation in a bf16
         state costs accuracy (the logits drift ~1e-2-relative over hundreds
-        of steps); measure on your task before serving with it."""
+        of steps); measure on your task before serving with it.
+
+        ``mesh``: a 1-axis ``jax.sharding.Mesh`` — generation shards the
+        BATCH axis of the prompt, cache and logits over it (params
+        replicated), the data-parallel serving layout; per-example math is
+        unchanged, so mesh and single-device decode emit identical
+        tokens."""
         cfg = dict(model_cfg)
         self.cfg = cfg
         self.params = params
         self.batch_stats = batch_stats
         self.state_dtype = state_dtype
+        self.mesh = mesh
+        if mesh is not None and len(mesh.axis_names) != 1:
+            raise ValueError("serving mesh must have exactly one axis")
         fam = cfg["layer"]
         if cfg.get("classifier", False) or cfg.get("dual", False):
             raise ValueError("decode targets per-position LM heads "
@@ -218,7 +239,8 @@ class Decoder:
 
     # -- cache construction -------------------------------------------------
 
-    def init_cache(self, bsz: int, max_len: int):
+    def init_cache(self, bsz: int, max_len: int, params=None):
+        params = self.params if params is None else params
         cfg = self.cfg
         f32 = jnp.float32
         layers = []
@@ -254,7 +276,7 @@ class Decoder:
                 else:
                     conv_dim = d_inner + 2 * g * n
                     buf = jnp.zeros((bsz, max(K - 1, 0), conv_dim), f32)
-                    pm = self.params[f"blocks_{i}"]["mamba"]
+                    pm = params[f"blocks_{i}"]["mamba"]
                     if "init_states" in pm:
                         h = jnp.broadcast_to(
                             jnp.swapaxes(pm["init_states"], -1, -2),
@@ -293,17 +315,23 @@ class Decoder:
 
     # -- one-token steps -----------------------------------------------------
 
-    def step(self, cache, tok, pos):
-        """(cache, tokens (B,), pos) → (cache, logits (B, V))."""
+    def step(self, cache, tok, pos, params=None):
+        """(cache, tokens (B,), pos) → (cache, logits (B, V)).
+
+        ``params`` defaults to the tree bound at construction; the jitted
+        generation paths pass it explicitly so the parameter arrays are jit
+        ARGUMENTS, not trace-time constants (big closures blow the remote
+        compile size limit — see CLAUDE.md)."""
+        params = self.params if params is None else params
         if self.family in ("lru", "s4", "s5"):
-            return self._ssm_step(cache, tok, pos)
+            return self._ssm_step(params, cache, tok, pos)
         if self.family == "mamba":
-            return self._mamba_step(cache, tok, pos)
-        return self._tf_step(cache, tok, pos)
+            return self._mamba_step(params, cache, tok, pos)
+        return self._tf_step(params, cache, tok, pos)
 
     # SSM backbone (ClassificationModel, models/backbone.py)
-    def _ssm_step(self, cache, tok, pos):
-        cfg, params = self.cfg, self.params
+    def _ssm_step(self, params, cache, tok, pos):
+        cfg = self.cfg
         enc = params["encoder"]
         ep = enc["encoder"]
         x = jnp.take(ep["kernel"], tok, axis=0) + ep["bias"]
@@ -380,8 +408,8 @@ class Decoder:
         return y + consts["d"] * u, (nr, ni)
 
     # Mamba families (models/mamba2.py)
-    def _mamba_step(self, cache, tok, pos):
-        cfg, params = self.cfg, self.params
+    def _mamba_step(self, params, cache, tok, pos):
+        cfg = self.cfg
         enc = params["encoder"]
         if cfg.get("token_embedding", False):
             x = jnp.take(enc["word_embeddings"]["embedding"], tok, axis=0)
@@ -483,8 +511,8 @@ class Decoder:
         return _dense(y, p["out_proj"]), (buf, hf.astype(self.state_dtype))
 
     # Transformer attention families (models/transformer.py)
-    def _tf_step(self, cache, tok, pos):
-        cfg, params = self.cfg, self.params
+    def _tf_step(self, params, cache, tok, pos):
+        cfg = self.cfg
         enc = params["encoder"]
         x = jnp.take(enc["word_embeddings"]["embedding"], tok, axis=0)
         if cfg.get("max_pos_embed", 0) > 0:
@@ -638,18 +666,22 @@ class Decoder:
     def stepwise_logits(self, tokens):
         """tokens (B, L) → per-position logits (B, L, V) via the step path."""
         tokens = jnp.asarray(tokens)
-        B, L = tokens.shape
-        cache = self.init_cache(B, L)
 
-        def body(carry, tok_t):
-            cache, pos = carry
-            cache, logits = self.step(cache, tok_t, pos)
-            return (cache, pos + 1), logits
+        def impl(params, tokens):
+            B, L = tokens.shape
+            cache = self.init_cache(B, L, params)
 
-        (_, _), logits = jax.lax.scan(
-            body, (cache, jnp.asarray(0, jnp.int32)), tokens.T
-        )
-        return jnp.moveaxis(logits, 0, 1)
+            def body(carry, tok_t):
+                cache, pos = carry
+                cache, logits = self.step(cache, tok_t, pos, params)
+                return (cache, pos + 1), logits
+
+            (_, _), logits = jax.lax.scan(
+                body, (cache, jnp.asarray(0, jnp.int32)), tokens.T
+            )
+            return jnp.moveaxis(logits, 0, 1)
+
+        return self._jit(impl)(self.params, tokens)
 
     def generate(
         self,
@@ -674,14 +706,25 @@ class Decoder:
         key = (L0, int(n_new), bool(sample), float(temperature), B,
                int(top_k), float(top_p))
         if key not in self._gen_cache:
-            self._gen_cache[key] = jax.jit(
+            self._gen_cache[key] = self._jit(
                 partial(self._generate_impl, L0=L0, n_new=int(n_new),
                         temperature=float(temperature), sample=sample,
                         top_k=int(top_k), top_p=float(top_p))
             )
         if rng is None:
             rng = jax.random.PRNGKey(0)
-        return self._gen_cache[key](prompt, rng)
+        return self._gen_cache[key](self.params, prompt, rng)
+
+    def _jit(self, fn):
+        """jit an (params, tokens[, rng]) function; with a serving mesh,
+        params are replicated and the token batch axis is sharded."""
+        if self.mesh is None:
+            return jax.jit(fn)
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        repl = NamedSharding(self.mesh, PartitionSpec())
+        data = NamedSharding(self.mesh, PartitionSpec(self.mesh.axis_names[0]))
+        return jax.jit(fn, in_shardings=(repl, data, repl)[: _n_pos_args(fn)])
 
     @staticmethod
     def _filter_logits(logits, top_k, top_p):
@@ -700,14 +743,14 @@ class Decoder:
             logits = jnp.where(logits < thresh, -jnp.inf, logits)
         return logits
 
-    def _generate_impl(self, prompt, rng, *, L0, n_new, temperature, sample,
-                       top_k=0, top_p=0.0):
+    def _generate_impl(self, params, prompt, rng, *, L0, n_new, temperature,
+                       sample, top_k=0, top_p=0.0):
         B = prompt.shape[0]
-        cache = self.init_cache(B, L0 + n_new)
+        cache = self.init_cache(B, L0 + n_new, params)
 
         def pre(carry, tok_t):
             cache, pos = carry
-            cache, logits = self.step(cache, tok_t, pos)
+            cache, logits = self.step(cache, tok_t, pos, params)
             return (cache, pos + 1), logits
 
         (cache, pos), logits_all = jax.lax.scan(
@@ -723,7 +766,7 @@ class Decoder:
             else:
                 tok = jnp.argmax(logits, axis=-1)
             tok = tok.astype(prompt.dtype)
-            cache, logits = self.step(cache, tok, pos)
+            cache, logits = self.step(cache, tok, pos, params)
             return (cache, pos + 1, logits), tok
 
         rngs = jax.random.split(rng, n_new)
