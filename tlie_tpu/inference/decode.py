@@ -172,9 +172,10 @@ class Decoder:
         self._gen_cache: Dict[Tuple, Any] = {}
 
     @classmethod
-    def from_checkpoint(cls, path: str) -> "Decoder":
+    def from_checkpoint(cls, path: str, **kwargs) -> "Decoder":
         """Build a decoder from a training checkpoint (the orbax
         ``{"model", "config"}`` layout of training/checkpoint.py).
+        ``kwargs`` (``state_dtype``, ``mesh``) pass through to the ctor.
 
         Note: this restores the full TrainState tree (including optimizer
         moments); for repeated serving loads prefer restoring params once
@@ -185,7 +186,7 @@ class Decoder:
         model = ckpt["model"]
         return cls(
             ckpt["config"]["model"], model["params"],
-            batch_stats=model.get("batch_stats"),
+            batch_stats=model.get("batch_stats"), **kwargs,
         )
 
     # -- per-family recurrence constants (computed once) -------------------
@@ -666,22 +667,23 @@ class Decoder:
     def stepwise_logits(self, tokens):
         """tokens (B, L) → per-position logits (B, L, V) via the step path."""
         tokens = jnp.asarray(tokens)
+        if "stepwise" not in self._gen_cache:
+            self._gen_cache["stepwise"] = self._jit(self._stepwise_impl)
+        return self._gen_cache["stepwise"](self.params, tokens)
 
-        def impl(params, tokens):
-            B, L = tokens.shape
-            cache = self.init_cache(B, L, params)
+    def _stepwise_impl(self, params, tokens):
+        B, L = tokens.shape
+        cache = self.init_cache(B, L, params)
 
-            def body(carry, tok_t):
-                cache, pos = carry
-                cache, logits = self.step(cache, tok_t, pos, params)
-                return (cache, pos + 1), logits
+        def body(carry, tok_t):
+            cache, pos = carry
+            cache, logits = self.step(cache, tok_t, pos, params)
+            return (cache, pos + 1), logits
 
-            (_, _), logits = jax.lax.scan(
-                body, (cache, jnp.asarray(0, jnp.int32)), tokens.T
-            )
-            return jnp.moveaxis(logits, 0, 1)
-
-        return self._jit(impl)(self.params, tokens)
+        (_, _), logits = jax.lax.scan(
+            body, (cache, jnp.asarray(0, jnp.int32)), tokens.T
+        )
+        return jnp.moveaxis(logits, 0, 1)
 
     def generate(
         self,
