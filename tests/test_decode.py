@@ -280,3 +280,77 @@ def test_generate_on_serving_mesh():
     out = sharded.generate(prompt, n_new=5, temperature=1.0,
                            rng=jax.random.PRNGKey(1), top_k=8)
     assert out.shape == (8, 11)
+
+
+# -------------------------------------------------- parallel (MXU) prefill
+
+def _prefill_vs_stepwise(cfg, L0=11):
+    """prefill's (cache, logits) must match running L0 stepwise steps."""
+    _, eval_model, _ = build_models(dict(cfg), False)
+    toks = _tokens()[:, :L0]
+    variables = eval_model.init(jax.random.PRNGKey(0), _tokens())
+    dec = Decoder(cfg, variables["params"],
+                  batch_stats=variables.get("batch_stats"))
+    cache_p, logits_p = dec.prefill(toks)
+    cache_s = dec.init_cache(B, L0)
+    for t in range(L0):
+        cache_s, logits_s = dec.step(cache_s, toks[:, t], t)
+    np.testing.assert_allclose(np.asarray(logits_p), np.asarray(logits_s),
+                               rtol=2e-4, atol=2e-4)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4),
+        cache_p, cache_s,
+    )
+    # generate (which now uses the parallel prefill) still continues with
+    # exactly the greedy token the stepwise path would emit
+    out = dec.generate(toks, n_new=3)
+    assert int(out[0, L0]) == int(np.argmax(np.asarray(logits_s)[0]))
+
+
+def test_prefill_lru():
+    _prefill_vs_stepwise({**_SSM_BASE, "layer": "lru"})
+
+
+def test_prefill_s5_batchnorm():
+    _prefill_vs_stepwise({**_SSM_BASE, "layer": "s5", "num_blocks": 2,
+                          "norm": "batch", "C_init": "lecun_normal"})
+
+
+def test_prefill_lin_attention_conv():
+    _prefill_vs_stepwise({**_TF_BASE, "attention_fn": "lin-attention",
+                          "dim_conv": 3, "conv_type": "full", "mixer": "glu"})
+
+
+def test_prefill_sm_attention():
+    # sm KV cache is sized max_len=L0 here; stepwise cache matches exactly
+    _prefill_vs_stepwise({**_TF_BASE, "attention_fn": "sm-attention",
+                          "mixer": "mlp", "use_gate": True})
+
+
+def test_prefill_norm_attention_partial_conv():
+    _prefill_vs_stepwise({**_TF_BASE, "attention_fn": "norm-attention",
+                          "norm_fn": "softplus", "approx_fn": "elu",
+                          "scale_B": True, "offset": True,
+                          "offset_init": "uniform", "dim_conv": 3,
+                          "conv_type": "qk", "mixer": "hybrid"})
+
+
+def test_prefill_mamba2_ngroups():
+    _prefill_vs_stepwise({**_MB_BASE, "ngroups": 2,
+                          "learnable_init_states": True})
+
+
+def test_prefill_mamba2_pseudo_lti():
+    _prefill_vs_stepwise({**_MB_BASE, "pseudoLTI": True})
+
+
+def test_prefill_mamba1():
+    _prefill_vs_stepwise({**_MB_BASE, "version": "mamba1", "expansion": 2})
+
+
+def test_prefill_short_prompt_conv_pad():
+    # prompt shorter than the conv window: the tail buffer front-pads
+    _prefill_vs_stepwise({**_TF_BASE, "attention_fn": "lin-attention",
+                          "dim_conv": 3, "conv_type": "full",
+                          "mixer": "none"}, L0=1)

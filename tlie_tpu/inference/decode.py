@@ -748,17 +748,24 @@ class Decoder:
     def _generate_impl(self, params, prompt, rng, *, L0, n_new, temperature,
                        sample, top_k=0, top_p=0.0):
         B = prompt.shape[0]
-        cache = self.init_cache(B, L0 + n_new, params)
+        if self.family == "s4":
+            # S4's CNN mode exposes no state: stepwise prefill scan
+            cache = self.init_cache(B, L0 + n_new, params)
 
-        def pre(carry, tok_t):
-            cache, pos = carry
-            cache, logits = self.step(cache, tok_t, pos, params)
-            return (cache, pos + 1), logits
+            def pre(carry, tok_t):
+                cache, pos = carry
+                cache, logits = self.step(cache, tok_t, pos, params)
+                return (cache, pos + 1), logits
 
-        (cache, pos), logits_all = jax.lax.scan(
-            pre, (cache, jnp.asarray(0, jnp.int32)), prompt.T
-        )
-        logits = logits_all[-1]
+            (cache, pos), logits_all = jax.lax.scan(
+                pre, (cache, jnp.asarray(0, jnp.int32)), prompt.T
+            )
+            logits = logits_all[-1]
+        else:
+            # chunked/MXU prefill: the prompt runs through the full-sequence
+            # kernels in O(L/chunk) matmuls, not L sequential steps
+            cache, logits = self.prefill(prompt, L0 + n_new, params)
+            pos = jnp.asarray(L0, jnp.int32)
 
         def gen_body(carry, rng_t):
             cache, pos, logits = carry
@@ -774,3 +781,312 @@ class Decoder:
         rngs = jax.random.split(rng, n_new)
         (_, _, _), toks = jax.lax.scan(gen_body, (cache, pos, logits), rngs)
         return jnp.concatenate([prompt, toks.T], axis=1)
+
+    # -- parallel (chunked / MXU) prefill ------------------------------------
+
+    def prefill(self, prompt, max_len: Optional[int] = None, params=None):
+        """Process the prompt with the framework's FULL-SEQUENCE ops (the
+        K1 chunked SSD scan, K3 chunked linear attention, K5 diagonal
+        associative scan, flash attention, grouped conv) and construct the
+        decode cache directly — O(L/chunk) MXU work instead of L sequential
+        steps.  Returns (cache, logits at the last prompt position).
+
+        S4 has no exposed state in CNN mode; ``prefill`` raises there and
+        ``generate`` falls back to the stepwise scan."""
+        params = self.params if params is None else params
+        prompt = jnp.asarray(prompt)
+        max_len = int(prompt.shape[1]) if max_len is None else max_len
+        if self.family == "s4":
+            raise NotImplementedError("S4 prefill falls back to stepwise")
+        if self.family in ("lru", "s5"):
+            return self._ssm_prefill(params, prompt)
+        if self.family == "mamba":
+            return self._mamba_prefill(params, prompt)
+        return self._tf_prefill(params, prompt, max_len)
+
+    @staticmethod
+    def _conv_tail(pre, K):
+        """Trailing K−1 pre-conv inputs, front-padded for short prompts."""
+        B, L, C = pre.shape
+        if K <= 1:
+            return jnp.zeros((B, 0, C), pre.dtype)
+        if L >= K - 1:
+            return pre[:, L - (K - 1):]
+        pad = jnp.zeros((B, K - 1 - L, C), pre.dtype)
+        return jnp.concatenate([pad, pre], axis=1)
+
+    def _ssm_prefill(self, params, prompt):
+        from ..ops.scan import diag_linear_scan
+
+        cfg = self.cfg
+        enc = params["encoder"]
+        ep = enc["encoder"]
+        x = jnp.take(ep["kernel"], prompt, axis=0) + ep["bias"]  # (B, L, d)
+        act, prenorm = cfg["activation"], cfg["prenorm"]
+        norm = cfg.get("norm", "layer")
+        L = prompt.shape[1]
+        cache = []
+        for i in range(cfg["num_layers"]):
+            p = enc[f"layers_{i}"]
+            skip = x
+            if prenorm:
+                x = self._backbone_norm(x, p, i, norm)
+            consts = self._ssm_consts[i]
+            lam, cpair, dvec = consts["lam"], consts["c"], consts["d"]
+            br, bi = consts["bn"] if self.family == "lru" else consts["b"]
+            bu = (x @ br.T, x @ bi.T)  # (B, L, N) pair
+            a = (jnp.broadcast_to(lam[0], (L,) + lam[0].shape),
+                 jnp.broadcast_to(lam[1], (L,) + lam[1].shape))
+            hr, hi = diag_linear_scan(a, bu)
+            cache.append((hr[:, -1], hi[:, -1]))
+            y = hr @ cpair[0].T - hi @ cpair[1].T
+            if self.family == "s5":
+                y = consts["mult"] * y
+            x2 = y + dvec * x
+            if act == "full_glu":
+                x2 = jax.nn.gelu(x2)
+                x2 = _dense(x2, p["out1"]) * jax.nn.sigmoid(_dense(x2, p["out2"]))
+            elif act == "half_glu1":
+                x2 = jax.nn.gelu(x2)
+                x2 = x2 * jax.nn.sigmoid(_dense(x2, p["out2"]))
+            elif act == "half_glu2":
+                x1 = jax.nn.gelu(x2)
+                x2 = x2 * jax.nn.sigmoid(_dense(x1, p["out2"]))
+            elif act == "gelu":
+                x2 = jax.nn.gelu(x2)
+            else:
+                raise NotImplementedError(act)
+            x = skip + x2
+            if not prenorm:
+                x = self._backbone_norm(x, p, i, norm)
+        logits = _dense(x[:, -1], params["decoder"])
+        return tuple(cache), logits
+
+    def _mamba_prefill(self, params, prompt):
+        from ..ops.conv import depthwise_causal_conv1d
+        from ..ops.scan import diag_linear_scan
+        from ..ops.ssd import ssd_chunked_scan
+
+        cfg = self.cfg
+        d = cfg["hidden_dim"]
+        expand = cfg["expansion"]
+        d_inner = expand * d
+        headdim = d // cfg["num_heads"]
+        H = d_inner // headdim
+        n = cfg["state_dim"]
+        g = cfg.get("ngroups", 1)
+        K = cfg["conv_dim"]
+        pseudo = cfg.get("pseudoLTI", False)
+        dt_limit = tuple(cfg.get("dt_limit", (0.0, float("inf"))))
+        conv_dim = d_inner + 2 * g * n
+
+        x = jnp.take(params["encoder"]["word_embeddings"]["embedding"],
+                     prompt, axis=0)
+        bsz, L = prompt.shape
+        cache = []
+        for i in range(cfg["num_layers"]):
+            p = params[f"blocks_{i}"]
+            skip = x
+            if cfg["prenorm"]:
+                x = _ln(x, p["norm_layer"], 1e-5)
+            pm = p["mamba"]
+            if cfg["version"] == "mamba1":
+                xz = _dense(x, pm["in_proj"])
+                xi, z = jnp.split(xz, 2, axis=-1)
+                buf = self._conv_tail(xi, K)
+                if K > 0:
+                    cw = pm["conv1d"]
+                    xi = jax.nn.silu(
+                        depthwise_causal_conv1d(xi, cw["weight"], cw["bias"])
+                    )
+                x_db = _dense(xi, pm["x_proj"])
+                r = x_db.shape[-1] - 2 * n
+                dt = jax.nn.softplus(_dense(x_db[..., :r], pm["dt_proj"]))
+                B_m = x_db[..., r : r + n]
+                C_m = x_db[..., r + n :]
+                A = -jnp.exp(pm["A_log"])  # (d_inner, n)
+                a = jnp.exp(dt[..., None] * A)
+                bx = (dt * xi)[..., None] * B_m[..., None, :]
+                h = diag_linear_scan(a, bx, axis=1)  # (B, L, d_inner, n)
+                cache.append((buf, h[:, -1].astype(self.state_dtype)))
+                y = jnp.einsum("bldn,bln->bld", h, C_m) + pm["D"] * xi
+                y = y * jax.nn.silu(z)
+                y = _dense(y, pm["out_proj"])
+            else:
+                xbcdt = _dense(x, pm["in_proj"])
+                xBC = xbcdt[..., :conv_dim]
+                dt = jax.nn.softplus(xbcdt[..., conv_dim:] + pm["dt_bias"])
+                buf = self._conv_tail(xBC, K)
+                if K > 0:
+                    cw = pm["conv1d"]
+                    xBC = jax.nn.silu(
+                        depthwise_causal_conv1d(xBC, cw["weight"], cw["bias"])
+                    )
+                xr = xBC[..., :d_inner].reshape(bsz, L, H, headdim)
+                B_flat = xBC[..., d_inner : d_inner + g * n]
+                C_m = xBC[..., d_inner + g * n :].reshape(bsz, L, g, n)
+                h0 = None
+                if "init_states" in pm:
+                    h0 = jnp.broadcast_to(
+                        pm["init_states"], (bsz,) + pm["init_states"].shape
+                    )
+                if pseudo:
+                    A = -jax.nn.softplus(pm["A"])
+                    khead = (n * g) // H
+                    dt_full = jnp.repeat(dt, khead, axis=-1)
+                    B_m = (dt_full * B_flat).reshape(bsz, L, g, n)
+                    beta = jnp.ones((bsz, L, H))
+                    y, hfin = ssd_chunked_scan(
+                        xr, beta, A, B_m, C_m, D=pm["D"],
+                        initial_states=h0, dt_limit=dt_limit,
+                        return_final_state=True,
+                    )
+                else:
+                    A = -jnp.exp(pm["A_log"])
+                    y, hfin = ssd_chunked_scan(
+                        xr, dt, A, B_flat.reshape(bsz, L, g, n), C_m,
+                        D=pm["D"], initial_states=h0, dt_limit=dt_limit,
+                        return_final_state=True,
+                    )
+                # reference layout (B, H, P, N) → decode layout (B, H, N, P)
+                cache.append((buf, jnp.swapaxes(hfin, -1, -2)
+                              .astype(self.state_dtype)))
+                y = _dense(y.reshape(bsz, L, d_inner), pm["out_proj"])
+            x = _gelu_exact(y)
+            if cfg["glu"]:
+                gp = p["glu_layer"]["linear"]
+                hh = _dense(x, gp)
+                x = hh[..., : x.shape[-1]] * jax.nn.sigmoid(hh[..., x.shape[-1]:])
+            x = x + skip
+            if not cfg["prenorm"]:
+                x = _ln(x, p["norm_layer"], 1e-5)
+        logits = _dense(x[:, -1], params["decoder"])
+        return tuple(cache), logits
+
+    def _tf_prefill(self, params, prompt, max_len):
+        from ..ops.attention import causal_softmax_attention
+        from ..ops.conv import depthwise_causal_conv1d
+        from ..ops.linear_attention import chunked_linear_attention
+
+        cfg = self.cfg
+        d_model = cfg["hidden_dim"]
+        d_qk = cfg["state_dim"]
+        Hh = cfg["num_heads"]
+        hd, vd = d_qk // Hh, d_model // Hh
+        att = cfg["attention_fn"]
+        K = cfg.get("dim_conv", 0)
+        conv_full = cfg.get("conv_type", "full") == "full"
+        bsz, L = prompt.shape
+
+        enc = params["encoder"]
+        x = jnp.take(enc["word_embeddings"]["embedding"], prompt, axis=0)
+        if cfg.get("max_pos_embed", 0) > 0:
+            x = x + jnp.take(enc["position_embeddings"]["embedding"],
+                             jnp.arange(L), axis=0)
+
+        def split3(t):
+            return t.reshape(bsz, L, Hh, t.shape[-1] // Hh)
+
+        cache = []
+        for i in range(cfg["num_layers"]):
+            p = params[f"layers_{i}"]
+            pa = p["attention"]
+            if cfg.get("use_gate", False):
+                z = _dense(x, p["Wz"])
+            skip = x
+            xn = _ln(x, p["norm"], 1e-5)
+
+            c = ()
+            if att == "norm-attention":
+                vqkn = _dense(xn, pa["Wvqkn"])
+                vqk = vqkn[..., : d_model + 2 * d_qk]
+                nproj = vqkn[..., d_model + 2 * d_qk :].astype(jnp.float32)
+                if K > 0:
+                    pre = vqk if conv_full else vqk[..., d_model:]
+                    c = (self._conv_tail(pre, K),)
+                    cw = pa["conv1d"]
+                    conv = jax.nn.silu(depthwise_causal_conv1d(
+                        pre, cw["weight"], cw["bias"]))
+                    vqk = conv if conv_full else jnp.concatenate(
+                        [vqk[..., :d_model], conv], axis=-1)
+                v = split3(vqk[..., :d_model])
+                q = split3(vqk[..., d_model : d_model + d_qk])
+                k = split3(vqk[..., d_model + d_qk :])
+                fn = approx_fn_by_name(cfg["approx_fn"])
+                q, k = fn(q), fn(k)
+                scale = 1.0 / math.sqrt(hd) if cfg["scale_B"] else 1.0
+                out = chunked_linear_attention(q, k, v, scale=scale)
+                S = jnp.einsum("blhd,blhe->bhde",
+                               (k * scale).astype(jnp.float32),
+                               v.astype(jnp.float32))
+                c = c + (S.astype(self.state_dtype),)
+                nf = norm_fn_by_name(cfg["norm_fn"])
+                if cfg["offset"]:
+                    nproj = nproj + pa["offset"]
+                out = jnp.exp(-nf(nproj))[..., None].astype(out.dtype) * out
+            else:
+                qkv = _dense(xn, pa["Wqkv"])
+                if K > 0:
+                    pre = qkv if conv_full else qkv[..., : 2 * d_qk]
+                    c = (self._conv_tail(pre, K),)
+                    cw = pa["conv1d"]
+                    conv = jax.nn.silu(depthwise_causal_conv1d(
+                        pre, cw["weight"], cw["bias"]))
+                    qkv = conv if conv_full else jnp.concatenate(
+                        [conv, qkv[..., 2 * d_qk :]], axis=-1)
+                q = split3(qkv[..., :d_qk])
+                k = split3(qkv[..., d_qk : 2 * d_qk])
+                v = split3(qkv[..., 2 * d_qk :])
+                if att == "lin-attention":
+                    q = jax.nn.elu(q) + 1
+                    k = jax.nn.elu(k) + 1
+                    num, nrm = chunked_linear_attention(
+                        q, k, v, scale=1.0, return_normalizer=True)
+                    out = num / nrm[..., None].astype(num.dtype)
+                    S = jnp.einsum("blhd,blhe->bhde",
+                                   k.astype(jnp.float32),
+                                   v.astype(jnp.float32))
+                    c = c + (S.astype(self.state_dtype),
+                             k.astype(jnp.float32).sum(axis=1))
+                else:
+                    impl = None
+                    if not cfg.get("use_flash", False) or hd != vd:
+                        impl = "xla"
+                    out = causal_softmax_attention(
+                        q, k, v, scale=1.0 / math.sqrt(hd), impl=impl)
+                    kc = jnp.zeros((bsz, max_len, Hh, hd), jnp.float32)
+                    vc = jnp.zeros((bsz, max_len, Hh, vd), jnp.float32)
+                    kc = jax.lax.dynamic_update_slice_in_dim(kc, k, 0, axis=1)
+                    vc = jax.lax.dynamic_update_slice_in_dim(vc, v, 0, axis=1)
+                    c = c + (kc, vc)
+            cache.append(c)
+            x = _dense(out.reshape(bsz, L, -1), pa["out_proj"]) + skip
+
+            y = _ln(x, p["norm"], 1e-5)
+            mixer = cfg["mixer"]
+            if mixer == "mlp":
+                m = p["mixer"]
+                y = _dense(_gelu_exact(_dense(y, m["encoder"])), m["decoder"])
+            elif mixer == "glu":
+                m = p["mixer"]["linear"]
+                hh = _dense(y, m)
+                y = hh[..., :d_model] * jax.nn.sigmoid(hh[..., d_model:])
+            elif mixer == "hybrid":
+                m = p["mixer"]
+                xz = _dense(y, m["encoder"])
+                a = jax.nn.sigmoid(m["alpha"])
+                glu_out = xz[..., :d_model] * jax.nn.sigmoid(xz[..., d_model:])
+                mlp_out = _dense(_gelu_exact(xz), m["decoder"])
+                y = a * glu_out + (1 - a) * mlp_out
+            if mixer == "none":
+                if cfg.get("use_gate", False):
+                    y = y * jax.nn.silu(z)
+            else:
+                if cfg.get("use_gate", False):
+                    y = (x + y) * jax.nn.silu(z)
+                else:
+                    y = x + y
+            x = y
+        x = _ln(x, params["norm"], 1e-5)
+        logits = _dense(x[:, -1], params["decoder"])
+        return tuple(cache), logits
