@@ -54,6 +54,10 @@ def main():
         bench_one("wikitext mamba2 (61M)", _WT_MAMBA2_MODEL, 8, 32, 224)
         bench_one("wikitext mamba2 (61M, bf16 state)", _WT_MAMBA2_MODEL,
                   8, 32, 224, state_dtype=jnp.bfloat16)
+        # long-prompt regime: chunked-kernel prefill dominates (r5: 512-token
+        # prompt 39 ms parallel vs 254 ms sequential at this shape)
+        bench_one("wikitext mamba2 (61M, long prompt)", _WT_MAMBA2_MODEL,
+                  8, 512, 32)
 
 
 if __name__ == "__main__":
